@@ -1,0 +1,32 @@
+"""Gumbi-TPU: TPU-native Gaussian Process Model Building Interface.
+
+A from-scratch JAX/XLA/Pallas rebuild of the Gumbi GP interface: tabular data
+in, fitted Gaussian-Process surfaces out, with unit-aware uncertain arrays for
+prediction and plotting. The regression core is a pure-JAX GP engine (kernels,
+marginal likelihood, vmapped multi-restart L-BFGS, batched posteriors) that
+jits to TPU and shards over device meshes.
+"""
+
+import os
+
+import jax as _jax
+
+# GP hyperparameter optimization and N×N Cholesky factorizations want float64
+# on host / parity paths. Opt out with GUMBI_TPU_X64=0 (e.g. for pure-bf16
+# TPU serving); the engine controls per-array dtypes explicitly either way.
+if os.environ.get("GUMBI_TPU_X64", "1") != "0":
+    _jax.config.update("jax_enable_x64", True)
+
+from . import data, style, utils  # noqa: E402
+from .aggregation import *  # noqa: F401,F403,E402
+from .arrays import *  # noqa: F401,F403,E402
+from .array_utils import *  # noqa: F401,F403,E402
+from .plotting import *  # noqa: F401,F403,E402
+from .models import *  # noqa: F401,F403,E402
+from .versions import __version__  # noqa: F401,E402
+
+# Aliases
+parray = ParameterArray  # noqa: F405
+uarray = UncertainArray  # noqa: F405
+uparray = UncertainParameterArray  # noqa: F405
+mvuparray = MVUncertainParameterArray  # noqa: F405
