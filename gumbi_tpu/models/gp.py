@@ -1,0 +1,567 @@
+"""GP surface learning on the JAX engine — the primary user-facing model.
+
+Same model family as the reference marginal GP (reference
+gumbi/regression/pymc/GP.py:21-979): product of a continuous (+linear) kernel
+with ICM coregion kernels per categorical dimension and per output, white
+noise with optional output heteroskedasticity, InverseGamma/Gamma/Normal
+hyperpriors, MAP hyperparameters. The inference engine is new: everything
+compiles to one XLA program per model structure — Gram assembly on the MXU,
+Cholesky-based MLL with autodiff gradients, and vmapped multi-restart L-BFGS
+on device (replacing pm.find_MAP's scipy loop).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..aggregation import DataSet
+from ..utils import assert_in
+from ..ops import (
+    CoregTerm,
+    GPSpec,
+    GPTerm,
+    fit_gp_map,
+    initial_params,
+    ls_prior_params,
+    output_correlation,
+    posterior_cache,
+    predict_diag,
+    draw_samples,
+)
+from ..ops.kernels import CONTINUOUS_KERNELS, gram
+from .base import Regressor
+
+__all__ = ["GP"]
+
+
+class GP(Regressor):
+    r"""Gaussian-Process surface learner (JAX/TPU backend).
+
+    Main entry point is :meth:`fit`, which parses dimensions
+    (:meth:`specify_model`), compiles the covariance structure
+    (:meth:`build_model`), and learns MAP hyperparameters
+    (:meth:`find_MAP`) by vmapped multi-restart L-BFGS on device.
+
+    Examples
+    --------
+    >>> import gumbi_tpu as gmb
+    >>> cars = gmb.data.cars()
+    >>> ds = gmb.DataSet(cars, outputs=['mpg', 'acceleration'],
+    ...                  log_vars=['mpg', 'acceleration', 'horsepower'])
+    >>> gp = gmb.GP(ds).fit(outputs=['mpg'], continuous_dims=['horsepower'])
+    >>> X = gp.prepare_grid()
+    >>> y = gp.predict_grid()
+    >>> gmb.ParrayPlotter(X, y).plot()
+    """
+
+    def __init__(self, dataset: DataSet, outputs=None, seed=2021):
+        super().__init__(dataset, outputs, seed)
+
+        self.model = None  # GPSpec once built
+        self.MAP = None
+        self.trace = None
+
+        self.continuous_kernel = "ExpQuad"
+        self.heteroskedastic_inputs = False
+        self.heteroskedastic_outputs = True
+        self.sparse = False
+        self.latent = False
+        self.n_u = 100
+
+        # Engine state
+        self._spec = None
+        self._xc = None
+        self._xk = None
+        self._yz = None
+        self._ls_alpha = None
+        self._ls_beta = None
+        self._params = None
+        self._cache = None
+        self._cat_maps = {}
+        self._dtype = jnp.float64
+
+        self.model_specs = {
+            "seed": self.seed,
+            "continuous_kernel": self.continuous_kernel,
+            "heteroskedastic_inputs": self.heteroskedastic_inputs,
+            "heteroskedastic_outputs": self.heteroskedastic_outputs,
+            "sparse": self.sparse,
+            "n_u": self.n_u,
+        }
+
+    ################################################################################
+    # Fitting
+    ################################################################################
+
+    def fit(
+        self,
+        outputs=None,
+        linear_dims=None,
+        continuous_dims=None,
+        continuous_levels=None,
+        continuous_coords=None,
+        categorical_dims=None,
+        categorical_levels=None,
+        additive=False,
+        seed=None,
+        continuous_kernel="ExpQuad",
+        period=None,
+        heteroskedastic_inputs=False,
+        heteroskedastic_outputs=True,
+        sparse=False,
+        n_u=100,
+        ARD=True,
+        ls_bounds=None,
+        mass=0.98,
+        spec_kwargs=None,
+        build_kwargs=None,
+        MAP_kwargs=None,
+    ):
+        """Fit a GP surface: specify → build → MAP.
+
+        See :meth:`build_model` for the model-structure arguments and
+        :meth:`find_MAP` for optimizer controls (pass via ``MAP_kwargs``).
+        """
+        self.specify_model(
+            outputs=outputs,
+            linear_dims=linear_dims,
+            continuous_dims=continuous_dims,
+            continuous_levels=continuous_levels,
+            continuous_coords=continuous_coords,
+            categorical_dims=categorical_dims,
+            categorical_levels=categorical_levels,
+            additive=additive,
+            **(spec_kwargs or {}),
+        )
+        self.build_model(
+            seed=seed,
+            continuous_kernel=continuous_kernel,
+            period=period,
+            heteroskedastic_inputs=heteroskedastic_inputs,
+            heteroskedastic_outputs=heteroskedastic_outputs,
+            sparse=sparse,
+            n_u=n_u,
+            ARD=ARD,
+            ls_bounds=ls_bounds,
+            mass=mass,
+            **(build_kwargs or {}),
+        )
+        self.find_MAP(**(MAP_kwargs or {}))
+        return self
+
+    # ------------------------------------------------------------------
+    # Model construction
+    # ------------------------------------------------------------------
+
+    def _split_X(self, X):
+        """Split a tall dims-ordered matrix into continuous (float) and
+        categorical (int index) blocks, remapping coords to 0..d_out-1."""
+        d_cont = len(self.continuous_dims)
+        xc = jnp.asarray(X[:, :d_cont], dtype=self._dtype)
+        cat_cols = []
+        for j, dim in enumerate(self.categorical_dims):
+            raw = np.asarray(X[:, d_cont + j], dtype=float)
+            sorted_coords = self._cat_maps[dim]
+            idx = np.searchsorted(sorted_coords, np.round(raw, 9))
+            cat_cols.append(idx)
+        xk = (
+            jnp.asarray(np.column_stack(cat_cols), dtype=jnp.int32)
+            if cat_cols
+            else jnp.zeros((X.shape[0], 0), dtype=jnp.int32)
+        )
+        return xc, xk
+
+    def _build_cat_maps(self):
+        self._cat_maps = {
+            dim: np.sort(np.asarray(list(self.categorical_coords[dim].values()), dtype=float))
+            for dim in self.categorical_dims
+        }
+
+    def _prepare_ls_bounds(self, X_s, ARD, ls_bounds):
+        """Per-dimension (lower, upper) lengthscale bounds from pairwise
+        distances, optionally overridden by a user parray of z-space deltas
+        (reference utils/gp_utils.py:15-48)."""
+        from scipy.spatial.distance import pdist
+
+        if ARD:
+            col_sets = [X_s[:, [j]] for j in range(X_s.shape[1])]
+        else:
+            col_sets = [X_s]
+
+        user = [None] * len(col_sets)
+        if ls_bounds is not None:
+            zb = []
+            for dim in self.continuous_dims:
+                if dim in ls_bounds.names:
+                    vals = ls_bounds[dim].z.values().squeeze()
+                    zb.append([None if np.isnan(v) else float(v) for v in np.atleast_1d(vals)])
+            if not ARD and len(zb) != 1:
+                raise ValueError(
+                    "Bounds must be specified for only a single dimension if ARD is False"
+                )
+            user = [b + [None] * (2 - len(b)) if b is not None else None for b in zb]
+            if len(user) == 1:
+                user = user * len(col_sets)
+
+        lowers, uppers = [], []
+        for points, ub in zip(col_sets, user):
+            distances = pdist(points)
+            distinct = distances != 0
+            default_lower = distances[distinct].min() if distinct.sum() > 0 else 0.01
+            default_upper = distances[distinct].max() if distinct.sum() > 0 else 1.0
+            lo = ub[0] if ub is not None and ub[0] is not None else default_lower
+            lo = max(lo, default_lower, 0.01)
+            hi = ub[1] if ub is not None and ub[1] is not None else default_upper
+            lowers.append(lo)
+            uppers.append(hi)
+        return lowers, uppers
+
+    def build_model(
+        self,
+        seed=None,
+        continuous_kernel="ExpQuad",
+        period=None,
+        heteroskedastic_inputs=False,
+        heteroskedastic_outputs=True,
+        sparse=False,
+        n_u=100,
+        ARD=True,
+        ls_bounds=None,
+        mass=0.98,
+    ):
+        r"""Compile the covariance structure and priors for the current spec.
+
+        Model (reference GP.py:61-94): y ~ N(μ, σ); μ ~ GP(K);
+        K = (K_cont + K_lin)·K_coreg_outputs·∏ K_coreg_cat, with an additive
+        per-category variant when ``additive=True``.
+        """
+        if heteroskedastic_inputs:
+            raise NotImplementedError("Heteroskedasticity over inputs is not yet implemented.")
+        assert_in("Continuous kernel", continuous_kernel, CONTINUOUS_KERNELS)
+
+        X, y = self.get_shaped_data("mean")
+        d_cont = len(self.continuous_dims)
+        assert X.shape[1] == len(self.dims)
+
+        seed = self.seed if seed is None else seed
+        self.seed = seed
+        self.continuous_kernel = continuous_kernel
+        self.heteroskedastic_inputs = heteroskedastic_inputs
+        self.heteroskedastic_outputs = heteroskedastic_outputs
+        self.sparse = sparse
+        self.n_u = n_u
+        self.latent = False
+        self.model_specs = {
+            "seed": seed,
+            "continuous_kernel": continuous_kernel,
+            "heteroskedastic_inputs": heteroskedastic_inputs,
+            "heteroskedastic_outputs": heteroskedastic_outputs,
+            "sparse": sparse,
+            "n_u": n_u,
+        }
+
+        # Period (z-space) per continuous dim for periodic kernels
+        period_z = None
+        if "Periodic" in continuous_kernel:
+            if continuous_kernel != "Periodic" and period is None:
+                raise ValueError("Period must be specified for periodic kernel")
+            if period is not None:
+                zp = [float(period.z[d + "_z"].values()) for d in self.continuous_dims]
+                period_z = tuple(zp)
+
+        self._build_cat_maps()
+        linear_idx = tuple(self.continuous_dims.index(d) for d in self.linear_dims)
+
+        # Coregion factors per categorical dim (output column last)
+        coreg_terms = {}
+        for j, dim in enumerate(self.categorical_dims):
+            coreg_terms[dim] = CoregTerm(
+                name=dim, col=j, d_out=len(self.categorical_levels[dim])
+            )
+        out_cg = coreg_terms.get(self.out_col)
+
+        if not self.additive:
+            all_coregs = tuple(coreg_terms[d] for d in self.categorical_dims)
+            terms = (
+                GPTerm(
+                    suffix="total",
+                    kernel=continuous_kernel,
+                    linear_idx=linear_idx,
+                    coregs=all_coregs,
+                ),
+            )
+        else:
+            # Global term: continuous (+linear) × output coregion only
+            global_coregs = (out_cg,) if out_cg is not None else ()
+            terms = [
+                GPTerm(
+                    suffix="total",
+                    kernel=continuous_kernel,
+                    linear_idx=linear_idx,
+                    coregs=global_coregs,
+                )
+            ]
+            for dim in self.categorical_dims:
+                if dim == self.out_col:
+                    continue
+                coregs = (coreg_terms[dim],) + ((out_cg,) if out_cg is not None else ())
+                terms.append(
+                    GPTerm(
+                        suffix=dim,
+                        kernel=continuous_kernel,
+                        linear_idx=linear_idx,
+                        coregs=coregs,
+                    )
+                )
+            terms = tuple(terms)
+
+        noise_coreg = None
+        if heteroskedastic_outputs and self.out_col in self.categorical_dims:
+            out_j = self.categorical_dims.index(self.out_col)
+            noise_coreg = CoregTerm(
+                name="Output_noise", col=out_j, d_out=len(self.outputs)
+            )
+            if sparse:
+                warnings.warn(
+                    "Heteroskedasticity over outputs is not yet implemented for sparse GP. "
+                    "Reverting to scalar-valued noise."
+                )
+                noise_coreg = None
+
+        self._spec = GPSpec(
+            terms=terms,
+            d_cont=d_cont,
+            ard=ARD,
+            noise_coreg=noise_coreg,
+            period=period_z,
+        )
+        self.model = self._spec
+
+        # Engine data
+        self._xc, self._xk = self._split_X(X)
+        self._yz = jnp.asarray(y, dtype=self._dtype)
+
+        # Lengthscale priors from pairwise distances of the continuous block
+        X_s = np.asarray(X[:, :d_cont], dtype=float)
+        lowers, uppers = self._prepare_ls_bounds(X_s, ARD, ls_bounds)
+        self._ls_alpha, self._ls_beta = ls_prior_params(lowers, uppers, mass=mass)
+
+        if sparse:
+            from ..ops.fitc import kmeans_inducing
+
+            # k-means over the stacked (continuous z, categorical index) matrix,
+            # then snap categorical columns back to valid level indices.
+            full = np.column_stack([np.asarray(self._xc), np.asarray(self._xk, dtype=float)])
+            centers = kmeans_inducing(full, n_u, seed=seed)
+            self._xu_c = jnp.asarray(centers[:, :d_cont], dtype=self._dtype)
+            if self._xk.shape[1]:
+                k_cols = np.clip(np.round(centers[:, d_cont:]), 0, None).astype(np.int32)
+                maxes = np.asarray(self._xk).max(axis=0)
+                self._xu_k = jnp.asarray(np.minimum(k_cols, maxes), dtype=jnp.int32)
+            else:
+                self._xu_k = jnp.zeros((centers.shape[0], 0), dtype=jnp.int32)
+        return self
+
+    def find_MAP(self, n_restarts=8, maxiter=500, tol=1e-8, seed=None, **kwargs):
+        """Learn MAP hyperparameters by vmapped multi-restart L-BFGS.
+
+        Restart 0 starts from the prior moments (the PyMC starting point);
+        the rest jitter in unconstrained space. The best finite optimum wins.
+        """
+        assert self._spec is not None, "Call build_model first"
+        seed = self.seed if seed is None else seed
+
+        u0s = initial_params(
+            self._spec, self._ls_alpha, self._ls_beta, n_restarts=n_restarts, seed=seed,
+            dtype=self._dtype,
+        )
+        ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
+        ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
+
+        if self.sparse:
+            from ..ops.fitc import fitc_neg_logp
+            from ..ops.optimize import multi_restart_minimize
+            from ..ops.priors import constrain
+
+            def objective(uparams):
+                return fitc_neg_logp(
+                    self._spec, uparams, self._xc, self._xk,
+                    self._xu_c, self._xu_k, self._yz, ls_alpha, ls_beta,
+                )
+
+            u_best, neg_logp, aux = jax.jit(
+                lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+            )(u0s)
+            params = constrain(u_best)
+            self._cache = None
+        else:
+            params, neg_logp, aux = fit_gp_map(
+                self._spec,
+                self._xc,
+                self._xk,
+                self._yz,
+                ls_alpha,
+                ls_beta,
+                u0s,
+                maxiter=maxiter,
+                tol=tol,
+            )
+        self._params = params
+        self._neg_logp = float(neg_logp)
+        self._fit_aux = {k: np.asarray(v) for k, v in aux.items()}
+        self.MAP = {k: np.asarray(v) for k, v in params.items()}
+        if not self.sparse:
+            self._cache = posterior_cache(self._spec, self._params, self._xc, self._xk, self._yz)
+        return self.MAP
+
+    ################################################################################
+    # Prediction
+    ################################################################################
+
+    def predict(self, points_array, with_noise=True, additive_level="total", **kwargs):
+        """Predict (mean, variance) at a tall dims-ordered points array."""
+        if additive_level != "total":
+            raise NotImplementedError("Prediction for additive sublevels is not yet supported.")
+        assert self._params is not None, "Model must be fit before predicting"
+
+        xc, xk = self._split_X(np.asarray(points_array))
+        if self.sparse:
+            from ..ops.fitc import fitc_predict
+
+            mean, var = fitc_predict(
+                self._spec, self._params, self._xc, self._xk,
+                self._xu_c, self._xu_k, self._yz, xc, xk, with_noise=with_noise,
+            )
+        else:
+            mean, var = predict_diag(
+                self._spec, self._params, self._cache, xc, xk, with_noise=with_noise
+            )
+        return np.asarray(mean), np.asarray(var)
+
+    def output_correlation(self, param_coords) -> np.ndarray:
+        """Correlation between outputs from the learned output coregion."""
+        W = self._params.get(f"W_{self.out_col}")
+        κ = self._params.get(f"κ_{self.out_col}")
+        if W is None:
+            return np.eye(len(param_coords))
+        cor = np.asarray(output_correlation(W, κ))
+        sorted_coords = self._cat_maps[self.out_col]
+        idx = np.searchsorted(sorted_coords, np.asarray(param_coords, dtype=float))
+        return cor[np.ix_(idx, idx)]
+
+    ################################################################################
+    # Posterior sampling
+    ################################################################################
+
+    def draw_point_samples(self, points, n_samples=1, output=None, with_noise=False, seed=None):
+        """Joint posterior draws at supplied points, returned as a parray."""
+        output = self._parse_prediction_output(output)
+        if len(output) > 1:
+            raise NotImplementedError(
+                "Drawing correlated samples of multiple outputs is not yet implemented."
+            )
+        points_array, _, _ = self._prepare_points_for_prediction(points, output=output)
+        xc, xk = self._split_X(np.asarray(points_array))
+        key = jax.random.PRNGKey(self.seed if seed is None else seed)
+        samples = draw_samples(
+            self._spec,
+            self._params,
+            self._cache,
+            xc,
+            xk,
+            key,
+            n_samples=n_samples,
+            with_noise=with_noise,
+        )
+        self.predictions = self.parray(**{output[0]: np.asarray(samples)}, stdzd=True)
+        self.predictions_X = points
+        return self.predictions
+
+    def draw_grid_samples(self, n_samples=1, output=None, categorical_levels=None, **kwargs):
+        """Joint posterior draws over the prepared grid, reshaped to the grid."""
+        if self.grid_points is None:
+            raise ValueError("Grid must first be specified with `prepare_grid`")
+        points = self.grid_points
+        if self.categorical_dims:
+            points = self.append_categorical_points(points, categorical_levels=categorical_levels)
+        samples = self.draw_point_samples(points, n_samples=n_samples, output=output, **kwargs)
+        self.predictions = samples.reshape(-1, *self.grid_parray.shape)
+        self.predictions_X = self.predictions_X.reshape(self.grid_parray.shape)
+        return self.predictions
+
+    ################################################################################
+    # Gradients — trivial under jax.grad (the reference needed torch autograd,
+    # reference gumbi/regression/botorch/GP.py:535-650)
+    ################################################################################
+
+    def _mean_fn_single(self, xc_single, xk_single):
+        ks = gram(
+            self._spec,
+            self._params,
+            xc_single[None, :],
+            xk_single[None, :],
+            self._cache.xc,
+            self._cache.xk,
+        )
+        return (ks @ self._cache.alpha)[0]
+
+    def predict_points_grad(self, points, output=None, norm=True):
+        """∂(posterior mean)/∂(continuous inputs) at points, in natural units.
+
+        Standardized-space gradients are rescaled per pair by σ_y/σ_x. With
+        ``norm=True``, returns per-output gradient norms ``|∇|<output>``.
+        """
+        output = self._parse_prediction_output(output)
+        points_array, tall_points, param_coords = self._prepare_points_for_prediction(
+            points, output=output
+        )
+        xc, xk = self._split_X(np.asarray(points_array))
+
+        grad_fn = jax.vmap(jax.grad(self._mean_fn_single, argnums=0), in_axes=(0, 0))
+        dydX = np.asarray(grad_fn(xc, xk))  # (M_total, d_cont) in z-space
+
+        partials = {}
+        for name in output:
+            coord = self.categorical_coords[self.out_col][name] if param_coords else None
+            σy = np.sqrt(self.stdzr.get(name, {"σ2": 1})["σ2"])
+            if param_coords:
+                idx = (tall_points[self.out_col].values() == coord).squeeze()
+                rows = dydX[idx]
+            else:
+                rows = dydX
+            for i, x_var in enumerate(self.continuous_dims):
+                σx = np.sqrt(self.stdzr.get(x_var, {"σ2": 1})["σ2"])
+                partials[f"δ[{name}]/δ[{x_var}]"] = rows[:, i] * σy / σx
+
+        grad = self.parray(**partials)
+        if norm:
+            grad = self._get_pgrad_norm(grad)
+        return grad
+
+    def predict_grid_grad(self, output=None, categorical_levels=None, norm=True):
+        """Gradient predictions over the prepared grid."""
+        points = self.grid_points
+        if self.categorical_dims:
+            points = self.append_categorical_points(points, categorical_levels=categorical_levels)
+        grad = self.predict_points_grad(points, output=output, norm=norm)
+        return grad.reshape(self.grid_parray.shape)
+
+    @staticmethod
+    def _get_pgrad_norm(pgrad):
+        from ..arrays import ParameterArray
+        from ..utils import group_by
+
+        def get_output_name(partial_name):
+            return partial_name.split("/")[0].removeprefix("δ[").removesuffix("]")
+
+        by_output = group_by(pgrad.names, get_output_name)
+        norms = {}
+        for out_name, partial_names in by_output.items():
+            partials = np.stack([pgrad[p].values() for p in partial_names], axis=-1)
+            norms[f"|∇|{out_name}"] = np.sqrt(np.sum(np.square(partials), axis=-1))
+        return ParameterArray(**norms, stdzr=pgrad.stdzr)

@@ -1,0 +1,145 @@
+"""GP classifier: latent GP + logit link + Bernoulli likelihood.
+
+Counterpart of the reference classifier (reference
+gumbi/regression/pymc/extras.py:8-66), redesigned for TPU: rather than
+jointly optimizing thousands of latent function values (pm.find_MAP over a
+Latent GP), hyperparameters are learned by maximizing the Laplace-approximate
+marginal likelihood (Newton mode-finding inside jit), and class probabilities
+come from the probit approximation to the logistic-Gaussian integral.
+
+The output column must be binary (0/1). Predictions are latent-space (μ, σ2)
+plus :meth:`predict_proba` for class probabilities; posterior probability
+surfaces register as logit-normal variables for transform-aware plotting,
+mirroring the reference's logit-var registration (extras.py:57).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops import initial_params, ls_prior_params
+from ..ops.kernels import CONTINUOUS_KERNELS
+from ..ops.laplace import laplace_neg_logp, laplace_predict
+from ..ops.optimize import multi_restart_minimize
+from ..utils import assert_in
+from .gp import GP
+
+__all__ = ["GPC"]
+
+
+class GPC(GP):
+    """Gaussian-Process classifier on the Laplace/JAX engine."""
+
+    def build_model(
+        self,
+        seed=None,
+        continuous_kernel="ExpQuad",
+        period=None,
+        heteroskedastic_inputs=False,
+        heteroskedastic_outputs=False,
+        sparse=False,
+        n_u=100,
+        ARD=True,
+        ls_bounds=None,
+        mass=0.98,
+    ):
+        """Build the latent-GP covariance structure for classification."""
+        if heteroskedastic_inputs:
+            raise NotImplementedError("The GPC does not support heteroskedastic inputs.")
+        if heteroskedastic_outputs:
+            raise NotImplementedError("The GPC does not support heteroskedastic outputs.")
+        if sparse:
+            raise NotImplementedError("The GPC does not support sparse structure (yet).")
+        assert_in("Continuous kernel", continuous_kernel, CONTINUOUS_KERNELS)
+
+        # Reuse the regression build for spec/data/prior construction, then
+        # adjust for the latent likelihood: no Gaussian noise, binary targets.
+        super().build_model(
+            seed=seed,
+            continuous_kernel=continuous_kernel,
+            period=period,
+            heteroskedastic_inputs=False,
+            heteroskedastic_outputs=False,
+            sparse=False,
+            n_u=n_u,
+            ARD=ARD,
+            ls_bounds=ls_bounds,
+            mass=mass,
+        )
+        self.latent = True
+
+        # Targets: raw 0/1 labels, not z-scores.
+        _, y_raw = self.get_structured_data("mean")
+        y = np.asarray(y_raw.values(), dtype=float).squeeze()
+        uniq = set(np.unique(y[np.isfinite(y)]))
+        if not uniq <= {0.0, 1.0}:
+            raise ValueError(f"GPC requires binary 0/1 outputs; found values {sorted(uniq)}")
+        mask = np.isfinite(y)
+        self._yz = jnp.asarray(y[mask], dtype=self._dtype)
+        self._xc = self._xc[np.asarray(mask)]
+        self._xk = self._xk[np.asarray(mask)]
+        return self
+
+    def find_MAP(self, n_restarts=8, maxiter=300, tol=1e-6, seed=None, **kwargs):
+        """Learn hyperparameters by maximizing the Laplace marginal likelihood."""
+        assert self._spec is not None, "Call build_model first"
+        seed = self.seed if seed is None else seed
+
+        # σ is part of the generic parameter set but the Bernoulli likelihood
+        # has no Gaussian noise; it stays pinned at its prior mode.
+        u0s = initial_params(
+            self._spec, self._ls_alpha, self._ls_beta, n_restarts=n_restarts, seed=seed,
+            dtype=self._dtype,
+        )
+        ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
+        ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
+
+        def objective(uparams):
+            return laplace_neg_logp(
+                self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta
+            )
+
+        import jax
+
+        u_best, f_best, aux = jax.jit(
+            lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+        )(u0s)
+        from ..ops.priors import constrain
+
+        self._params = constrain(u_best)
+        self._neg_logp = float(f_best)
+        self._fit_aux = {k: np.asarray(v) for k, v in aux.items()}
+        self.MAP = {k: np.asarray(v) for k, v in self._params.items()}
+        self._cache = None  # classifier uses the Laplace predictor directly
+        return self.MAP
+
+    def predict(self, points_array, with_noise=True, additive_level="total", **kwargs):
+        """Latent-function (mean, variance) at a tall dims-ordered points array."""
+        if additive_level != "total":
+            raise NotImplementedError("Prediction for additive sublevels is not yet supported.")
+        assert self._params is not None, "Model must be fit before predicting"
+        xc, xk = self._split_X(np.asarray(points_array))
+        mean, var, prob = laplace_predict(
+            self._spec, self._params, self._xc, self._xk, self._yz, xc, xk
+        )
+        self._last_prob = np.asarray(prob)
+        return np.asarray(mean), np.asarray(var)
+
+    def predict_proba(self, points, output=None):
+        """Class probability P(y=1) at a 1-D parray of coordinates."""
+        output = self._parse_prediction_output(output)
+        points_array, _, _ = self._prepare_points_for_prediction(points, output=output)
+        self.predict(points_array)
+        return self._last_prob
+
+    def predict_grid_proba(self, output=None, categorical_levels=None):
+        """Class probability over the prepared grid."""
+        if self.grid_points is None:
+            raise ValueError("Grid must first be specified with `prepare_grid`")
+        points = self.grid_points
+        if self.categorical_dims:
+            points = self.append_categorical_points(points, categorical_levels=categorical_levels)
+        proba = self.predict_proba(points, output=output)
+        return proba.reshape(self.grid_parray.shape)

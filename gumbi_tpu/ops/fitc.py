@@ -1,0 +1,112 @@
+"""FITC sparse GP approximation with k-means inducing points.
+
+TPU-native counterpart of the reference's MarginalSparse path (reference
+gumbi/regression/pymc/GP.py:571-578, approx='FITC' with
+pm.gp.util.kmeans_inducing_points). All device math is expressed with the
+inducing-point Woodbury identity, so cost is O(N·M²) instead of O(N³); the
+N×M cross-Gram matmuls ride the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+from .kernels import GPSpec, gram, gram_diag, noise_diag
+from .mll import DEFAULT_JITTER
+from .priors import constrain, log_prior
+
+__all__ = ["kmeans_inducing", "fitc_mll", "fitc_neg_logp", "fitc_predict"]
+
+
+def kmeans_inducing(X: np.ndarray, n_u: int, seed: int = 0, n_iter: int = 25) -> np.ndarray:
+    """Lloyd's k-means centers over the (host) input matrix.
+
+    Runs once on the host at build time; cost is negligible next to the fit.
+    """
+    X = np.asarray(X, dtype=float)
+    n = X.shape[0]
+    rng = np.random.default_rng(seed)
+    if n_u >= n:
+        return X.copy()
+    centers = X[rng.choice(n, n_u, replace=False)]
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(n_u):
+            pts = X[assign == j]
+            if len(pts):
+                centers[j] = pts.mean(0)
+    return centers
+
+
+def _fitc_common(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter):
+    """Shared FITC factorizations: Luu, A, Λ, LB, c."""
+    m = xu_c.shape[0]
+    Kuu = gram(spec, params, xu_c, xu_k, xu_c, xu_k) + jitter * jnp.eye(m, dtype=xc.dtype)
+    Kux = gram(spec, params, xu_c, xu_k, xc, xk)  # (M, N)
+    Luu = jnp.linalg.cholesky(Kuu)
+    A = jsl.solve_triangular(Luu, Kux, lower=True)  # (M, N)
+
+    kxx_diag = gram_diag(spec, params, xc, xk)
+    q_diag = jnp.sum(A * A, axis=0)
+    lam = jnp.maximum(kxx_diag - q_diag, 0.0) + noise_diag(spec, params, xk, dtype=xc.dtype)
+
+    A_l = A / lam[None, :]
+    B = jnp.eye(m, dtype=xc.dtype) + A_l @ A.T
+    LB = jnp.linalg.cholesky(B)
+    c = jsl.solve_triangular(LB, A_l @ y, lower=True)  # (M,)
+    return Luu, A, lam, LB, c
+
+
+def fitc_mll(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter=DEFAULT_JITTER):
+    """FITC approximate marginal log-likelihood (Snelson & Ghahramani)."""
+    n = y.shape[0]
+    _, _, lam, LB, c = _fitc_common(spec, params, xc, xk, xu_c, xu_k, y, jitter)
+    quad = jnp.sum(y * y / lam) - jnp.sum(c * c)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(LB))) + jnp.sum(jnp.log(lam))
+    return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+
+
+def fitc_neg_logp(spec: GPSpec, uparams, xc, xk, xu_c, xu_k, y, ls_alpha, ls_beta, jitter=DEFAULT_JITTER):
+    """Negative (FITC MLL + hyperprior) in unconstrained space."""
+    params = constrain(uparams)
+    total = fitc_mll(spec, params, xc, xk, xu_c, xu_k, y, jitter) + log_prior(
+        spec, uparams, ls_alpha, ls_beta
+    )
+    return jnp.where(jnp.isfinite(total), -total, jnp.inf)
+
+
+@partial(jax.jit, static_argnums=0, static_argnames=("with_noise",))
+def fitc_predict(
+    spec: GPSpec,
+    params,
+    xc,
+    xk,
+    xu_c,
+    xu_k,
+    y,
+    xc_new,
+    xk_new,
+    with_noise=True,
+    jitter=DEFAULT_JITTER,
+):
+    """FITC posterior mean/variance at new points."""
+    Luu, A, lam, LB, c = _fitc_common(spec, params, xc, xk, xu_c, xu_k, y, jitter)
+    Kus = gram(spec, params, xu_c, xu_k, xc_new, xk_new)  # (M, M*)
+    w = jsl.solve_triangular(Luu, Kus, lower=True)  # (M, M*)
+    wb = jsl.solve_triangular(LB, w, lower=True)  # (M, M*)
+    mean = wb.T @ c
+    var = (
+        gram_diag(spec, params, xc_new, xk_new)
+        - jnp.sum(w * w, axis=0)
+        + jnp.sum(wb * wb, axis=0)
+    )
+    var = jnp.maximum(var, 0.0)
+    if with_noise:
+        var = var + noise_diag(spec, params, xk_new, dtype=var.dtype)
+    return mean, var

@@ -1,0 +1,84 @@
+"""GP posterior prediction: batched mean/variance solves over point sets.
+
+Replaces the reference's ``gp.predict(Xnew, point=MAP, diag=True)`` path
+(reference gumbi/regression/pymc/GP.py:837-849). The training-set Cholesky is
+computed once and cached on device; prediction is then one (M, N) cross-Gram
+matmul + triangular solve per chunk, which XLA tiles onto the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from .kernels import GPSpec, gram, gram_diag, noise_diag
+from .mll import DEFAULT_JITTER, cholesky_factor
+
+__all__ = ["PosteriorCache", "posterior_cache", "predict_diag", "predict_cov", "draw_samples"]
+
+
+class PosteriorCache(NamedTuple):
+    """Training-set factorization reused across predictions."""
+
+    L: jnp.ndarray  # chol(Kxx + noise)
+    alpha: jnp.ndarray  # (Kxx + noise)⁻¹ y
+    xc: jnp.ndarray
+    xk: jnp.ndarray
+
+
+@partial(jax.jit, static_argnums=0)
+def posterior_cache(spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER) -> PosteriorCache:
+    L = cholesky_factor(spec, params, xc, xk, y.dtype, jitter)
+    alpha = jsl.cho_solve((L, True), y)
+    return PosteriorCache(L=L, alpha=alpha, xc=xc, xk=xk)
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("with_noise",))
+def predict_diag(spec: GPSpec, params, cache: PosteriorCache, xc_new, xk_new, with_noise=True):
+    """Posterior mean and per-point variance at new points."""
+    Ks = gram(spec, params, xc_new, xk_new, cache.xc, cache.xk)  # (M, N)
+    mean = Ks @ cache.alpha
+    V = jsl.solve_triangular(cache.L, Ks.T, lower=True)  # (N, M)
+    var = gram_diag(spec, params, xc_new, xk_new) - jnp.sum(V * V, axis=0)
+    var = jnp.maximum(var, 0.0)
+    if with_noise:
+        var = var + noise_diag(spec, params, xk_new, dtype=var.dtype)
+    return mean, var
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("with_noise",))
+def predict_cov(spec: GPSpec, params, cache: PosteriorCache, xc_new, xk_new, with_noise=False):
+    """Posterior mean and full covariance at new points (for joint sampling)."""
+    Ks = gram(spec, params, xc_new, xk_new, cache.xc, cache.xk)
+    mean = Ks @ cache.alpha
+    V = jsl.solve_triangular(cache.L, Ks.T, lower=True)
+    Kss = gram(spec, params, xc_new, xk_new, xc_new, xk_new)
+    cov = Kss - V.T @ V
+    if with_noise:
+        cov = cov + jnp.diag(noise_diag(spec, params, xk_new, dtype=cov.dtype))
+    return mean, cov
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("n_samples", "with_noise"))
+def draw_samples(
+    spec: GPSpec,
+    params,
+    cache: PosteriorCache,
+    xc_new,
+    xk_new,
+    key,
+    n_samples=1,
+    with_noise=False,
+    jitter=DEFAULT_JITTER,
+):
+    """Joint posterior draws at new points (replaces gp.conditional +
+    pm.sample_posterior_predictive, reference GP.py:861-979)."""
+    mean, cov = predict_cov(spec, params, cache, xc_new, xk_new, with_noise=with_noise)
+    cov = cov + jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    Lss = jnp.linalg.cholesky(cov)
+    eps = jax.random.normal(key, (n_samples, mean.shape[0]), dtype=mean.dtype)
+    return mean[None, :] + eps @ Lss.T

@@ -6,13 +6,24 @@ exercised without TPU hardware, and enables float64 before JAX initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the ambient environment may point JAX at a TPU tunnel
+# (JAX_PLATFORMS=axon) and the axon plugin ignores the env var; unit tests
+# always run on the virtual CPU mesh (see jax.config update below).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
+# Persistent compilation cache: the vmapped L-BFGS fit program is expensive to
+# compile; cache it across test runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-import matplotlib
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import matplotlib  # noqa: E402
 
 matplotlib.use("Agg")
 

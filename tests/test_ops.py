@@ -1,0 +1,230 @@
+"""Unit tests for the JAX GP engine: kernels, MLL, priors, MAP fitting."""
+
+import numpy as np
+import pytest
+import scipy.stats as sstats
+
+import jax
+import jax.numpy as jnp
+
+from gumbi_tpu.ops import (
+    CoregTerm,
+    GPSpec,
+    GPTerm,
+    coreg_matrix,
+    fit_gp_map,
+    fit_inverse_gamma,
+    gram,
+    gram_diag,
+    initial_params,
+    lbfgs_minimize,
+    ls_prior_params,
+    mll,
+    noise_diag,
+    posterior_cache,
+    predict_diag,
+)
+
+
+def simple_spec(kernel="ExpQuad", d_cont=1, ard=True, linear=(), coregs=()):
+    return GPSpec(
+        terms=(GPTerm(suffix="total", kernel=kernel, linear_idx=linear, coregs=coregs),),
+        d_cont=d_cont,
+        ard=ard,
+    )
+
+
+def base_params(d=1, ls=0.5, eta=1.3, sigma=0.1):
+    return {
+        "ls_total": jnp.full((d,), ls),
+        "η_total": jnp.asarray(eta),
+        "σ": jnp.asarray(sigma),
+    }
+
+
+def test_rbf_gram_matches_naive():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(7, 2))
+    spec = simple_spec(d_cont=2)
+    params = base_params(d=2, ls=0.7, eta=1.5)
+    xk = jnp.zeros((7, 0), dtype=jnp.int32)
+    K = np.asarray(gram(spec, params, jnp.asarray(X), xk, jnp.asarray(X), xk))
+
+    naive = np.zeros((7, 7))
+    for i in range(7):
+        for j in range(7):
+            d2 = np.sum(((X[i] - X[j]) / 0.7) ** 2)
+            naive[i, j] = 1.5**2 * np.exp(-0.5 * d2)
+    assert np.allclose(K, naive, atol=1e-12)
+    assert np.allclose(np.asarray(gram_diag(spec, params, jnp.asarray(X), xk)), 1.5**2)
+
+
+@pytest.mark.parametrize("kernel", ["Matern12", "Matern32", "Matern52", "Exponential"])
+def test_matern_grams_match_naive(kernel):
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(6, 1))
+    spec = simple_spec(kernel=kernel)
+    params = base_params(ls=0.9, eta=1.0)
+    xk = jnp.zeros((6, 0), dtype=jnp.int32)
+    K = np.asarray(gram(spec, params, jnp.asarray(X), xk, jnp.asarray(X), xk))
+
+    r = np.abs(X - X.T) / 0.9
+    if kernel == "Matern12":
+        naive = np.exp(-r)
+    elif kernel == "Exponential":
+        naive = np.exp(-0.5 * r)
+    elif kernel == "Matern32":
+        naive = (1 + np.sqrt(3) * r) * np.exp(-np.sqrt(3) * r)
+    else:
+        naive = (1 + np.sqrt(5) * r + 5 * r**2 / 3) * np.exp(-np.sqrt(5) * r)
+    assert np.allclose(K, naive, atol=1e-9)
+
+
+def test_linear_kernel():
+    X = np.array([[0.0], [1.0], [2.0]])
+    spec = simple_spec(linear=(0,))
+    params = {**base_params(), "c_total": jnp.asarray([0.5]), "τ_total": jnp.asarray(2.0)}
+    xk = jnp.zeros((3, 0), dtype=jnp.int32)
+    K = np.asarray(gram(spec, params, jnp.asarray(X), xk, jnp.asarray(X), xk))
+    rbf = 1.3**2 * np.exp(-0.5 * ((X - X.T) / 0.5) ** 2)
+    lin = 2.0 * np.outer(X[:, 0] - 0.5, X[:, 0] - 0.5)
+    assert np.allclose(K, rbf + lin, atol=1e-12)
+
+
+def test_coreg_gram_and_noise():
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(6, 1))
+    idx = np.array([0, 0, 1, 1, 2, 2])
+    cg = CoregTerm(name="Out", col=0, d_out=3)
+    spec = GPSpec(
+        terms=(GPTerm(suffix="total", kernel="ExpQuad", coregs=(cg,)),),
+        d_cont=1,
+        noise_coreg=CoregTerm(name="Output_noise", col=0, d_out=3),
+    )
+    W = rng.normal(size=(3, 2))
+    κ = np.abs(rng.normal(size=3)) + 0.1
+    Wn = rng.normal(size=(3, 2))
+    κn = np.abs(rng.normal(size=3)) + 0.1
+    params = {
+        **base_params(),
+        "W_Out": jnp.asarray(W),
+        "κ_Out": jnp.asarray(κ),
+        "W_Output_noise": jnp.asarray(Wn),
+        "κ_Output_noise": jnp.asarray(κn),
+    }
+    xk = jnp.asarray(idx[:, None], dtype=jnp.int32)
+    K = np.asarray(gram(spec, params, jnp.asarray(X), xk, jnp.asarray(X), xk))
+
+    B = W @ W.T + np.diag(κ)
+    rbf = 1.3**2 * np.exp(-0.5 * ((X - X.T) / 0.5) ** 2)
+    naive = rbf * B[np.ix_(idx, idx)]
+    assert np.allclose(K, naive, atol=1e-12)
+
+    nd = np.asarray(noise_diag(spec, params, xk))
+    Bn = Wn @ Wn.T + np.diag(κn)
+    assert np.allclose(nd, 0.1**2 * Bn[idx, idx], atol=1e-12)
+
+
+def test_additive_terms_sum():
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(5, 1))
+    xk = jnp.zeros((5, 0), dtype=jnp.int32)
+    t1 = GPTerm(suffix="total", kernel="ExpQuad")
+    t2 = GPTerm(suffix="grp", kernel="ExpQuad")
+    spec2 = GPSpec(terms=(t1, t2), d_cont=1)
+    params = {
+        **base_params(),
+        "ls_grp": jnp.asarray([1.1]),
+        "η_grp": jnp.asarray(0.7),
+    }
+    K2 = np.asarray(gram(spec2, params, jnp.asarray(X), xk, jnp.asarray(X), xk))
+    K_a = np.asarray(gram(simple_spec(), base_params(), jnp.asarray(X), xk, jnp.asarray(X), xk))
+    K_b = 0.7**2 * np.exp(-0.5 * ((X - X.T) / 1.1) ** 2)
+    assert np.allclose(K2, K_a + K_b, atol=1e-12)
+
+
+def test_periodic_kernel_periodicity():
+    spec = GPSpec(
+        terms=(GPTerm(suffix="total", kernel="Periodic"),),
+        d_cont=1,
+        period=(2.0,),
+    )
+    params = base_params(ls=1.0, eta=1.0)
+    x = jnp.asarray([[0.0], [2.0], [4.0], [1.0]])
+    xk = jnp.zeros((4, 0), dtype=jnp.int32)
+    K = np.asarray(gram(spec, params, x, xk, x, xk))
+    # Points separated by exactly one period are perfectly correlated
+    assert np.isclose(K[0, 1], 1.0)
+    assert np.isclose(K[0, 2], 1.0)
+    assert K[0, 3] < 1.0
+
+
+def test_mll_matches_direct_formula():
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(10, 1))
+    y = rng.normal(size=10)
+    spec = simple_spec()
+    params = base_params(sigma=0.3)
+    xk = jnp.zeros((10, 0), dtype=jnp.int32)
+
+    value = float(mll(spec, params, jnp.asarray(X), xk, jnp.asarray(y)))
+
+    K = 1.3**2 * np.exp(-0.5 * ((X - X.T) / 0.5) ** 2) + (0.3**2 + 1e-6) * np.eye(10)
+    direct = sstats.multivariate_normal(mean=np.zeros(10), cov=K).logpdf(y)
+    assert np.isclose(value, direct, rtol=1e-10)
+
+
+def test_fit_inverse_gamma_mass():
+    p = fit_inverse_gamma(0.1, 2.0, mass=0.98)
+    dist = sstats.invgamma(p["alpha"], scale=p["beta"])
+    assert np.isclose(dist.cdf(0.1), 0.01, atol=1e-6)
+    assert np.isclose(dist.cdf(2.0), 0.99, atol=1e-6)
+
+    a, b = ls_prior_params([0.1, 0.5], [2.0, 3.0])
+    assert a.shape == (2,)
+    d0 = sstats.invgamma(a[0], scale=b[0])
+    assert np.isclose(d0.cdf(2.0) - d0.cdf(0.1), 0.98, atol=1e-5)
+
+
+def test_lbfgs_rosenbrock():
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+    x, f, it = jax.jit(lambda x0: lbfgs_minimize(rosen, x0, maxiter=200))(jnp.zeros(4))
+    assert np.allclose(np.asarray(x), 1.0, atol=1e-5)
+    assert f < 1e-10
+
+
+def test_map_fit_recovers_smooth_function():
+    # y = sin(x) observed with small noise; the MAP GP should interpolate well.
+    rng = np.random.default_rng(5)
+    X = np.linspace(-2, 2, 30)[:, None]
+    y = np.sin(2 * X[:, 0]) + rng.normal(0, 0.05, 30)
+    y = (y - y.mean()) / y.std()
+
+    spec = simple_spec()
+    xc = jnp.asarray(X)
+    xk = jnp.zeros((30, 0), dtype=jnp.int32)
+    yj = jnp.asarray(y)
+
+    dists = np.abs(X - X.T)[np.triu_indices(30, 1)]
+    ls_alpha, ls_beta = ls_prior_params([dists[dists > 0].min()], [dists.max()])
+    u0s = initial_params(spec, ls_alpha, ls_beta, n_restarts=4, seed=0)
+
+    params, neg_logp, aux = fit_gp_map(
+        spec, xc, xk, yj, jnp.asarray(ls_alpha), jnp.asarray(ls_beta), u0s, maxiter=200
+    )
+    assert np.isfinite(float(neg_logp))
+    assert float(params["σ"]) < 0.5  # noise should be recognized as small
+
+    cache = posterior_cache(spec, params, xc, xk, yj)
+    mean, var = predict_diag(spec, params, cache, xc, xk, with_noise=False)
+    # In-sample posterior mean should track the (smooth) data closely
+    assert np.sqrt(np.mean((np.asarray(mean) - y) ** 2)) < 0.15
+    assert np.all(np.asarray(var) >= 0)
+
+    # Predictions away from data revert toward prior variance
+    x_far = jnp.asarray([[10.0]])
+    xk1 = jnp.zeros((1, 0), dtype=jnp.int32)
+    _, var_far = predict_diag(spec, params, cache, x_far, xk1, with_noise=False)
+    assert float(var_far[0]) > float(var.mean()) * 5
