@@ -17,6 +17,12 @@ import jax as _jax
 if os.environ.get("GUMBI_TPU_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bf16 passes, which makes N×N RBF Grams indefinite
+# (squared-distance errors ~1e-2 → Cholesky failure). GP linear algebra needs
+# true f32: default every matmul to HIGHEST precision. Hot kernels that can
+# tolerate less opt in explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import data, style, utils  # noqa: E402
 from .aggregation import *  # noqa: F401,F403,E402
 from .arrays import *  # noqa: F401,F403,E402

@@ -495,6 +495,181 @@ class GP(Regressor):
         return self.predictions
 
     ################################################################################
+    # Bayesian optimization (engine acquisitions; reference
+    # gumbi/regression/botorch/GP.py:652-780 used BoTorch qLogNEI/qLogNEHVI)
+    ################################################################################
+
+    def propose(
+        self,
+        target=None,
+        acquisition="EI",
+        *,
+        q=None,
+        bounds=None,
+        maximize=True,
+        num_restarts=10,
+        raw_samples=512,
+        mc_samples=256,
+        seed=None,
+        ref_point=None,
+        sequential=False,
+        max_baseline=64,
+        **optim_kwargs,
+    ):
+        """Propose new experiments.
+
+        Two modes, matching the two reference surfaces:
+
+        * ``propose(target, acquisition='EI'|'PD')`` — grid-based proposal
+          toward a target value over existing predictions (Regressor parity).
+        * ``propose(q=...)`` — on-device batch Bayesian optimization: smoothed
+          qLogNEI (single output) or exact-2D qLogNEHVI (two outputs) over
+          Sobol QMC samples, maximized by vmapped multi-restart L-BFGS.
+          Returns (candidates parray, acquisition value).
+        """
+        if q is None:
+            return super().propose(target, acquisition=acquisition)
+
+        import jax.random as jrandom
+
+        from ..ops.acquisition import (
+            optimize_acqf,
+            qlog_nehvi_2d,
+            qlog_nei,
+            sobol_normal,
+        )
+
+        assert self._params is not None, "Model must be fit before proposing"
+        seed = self.seed if seed is None else seed
+        d = len(self.continuous_dims)
+        d_out = len(self.outputs)
+        if d_out > 2:
+            raise NotImplementedError(
+                "On-device hypervolume proposals currently support ≤2 outputs; "
+                "scalarize or select two outputs."
+            )
+
+        # Bounds in z-space over the continuous dims
+        xc_train = np.asarray(self._xc)
+        if bounds is None:
+            # Unique locations (first output block if multi-output)
+            lo, hi = xc_train.min(0), xc_train.max(0)
+        else:
+            from ..arrays import ParameterArray
+
+            if isinstance(bounds, ParameterArray):
+                b = bounds.z.values()
+                b = np.atleast_2d(b)
+                lo, hi = b[:, 0], b[:, 1]
+            else:
+                b = np.asarray(bounds, dtype=float)
+                if b.shape[0] == 2:  # (2, d)
+                    lo, hi = b[0], b[1]
+                else:  # (d, 2)
+                    lo, hi = b[:, 0], b[:, 1]
+
+        # Baseline: subsample training locations (pruning analog)
+        rng = np.random.default_rng(seed)
+        if d_out == 1:
+            base_locs = xc_train
+        else:
+            base_locs = xc_train[: xc_train.shape[0] // d_out]
+        if base_locs.shape[0] > max_baseline:
+            idx = rng.choice(base_locs.shape[0], max_baseline, replace=False)
+            base_locs = base_locs[idx]
+        nb = base_locs.shape[0]
+        xc_base = jnp.asarray(base_locs, dtype=self._dtype)
+
+        out_j = (
+            self.categorical_dims.index(self.out_col)
+            if self.out_col in self.categorical_dims
+            else None
+        )
+        n_cat = self._xk.shape[1]
+
+        def cat_cols(n_rows, out_idx):
+            cols = np.zeros((n_rows, n_cat), dtype=np.int32)
+            if out_j is not None:
+                cols[:, out_j] = out_idx
+            return jnp.asarray(cols)
+
+        def propose_one(q_now, extra_base_c):
+            xc_b = jnp.concatenate([xc_base, extra_base_c]) if extra_base_c is not None else xc_base
+            nb_now = xc_b.shape[0]
+            if d_out == 1:
+                P = q_now + nb_now
+                base_samples = jnp.asarray(
+                    sobol_normal(mc_samples, P, seed=seed), dtype=self._dtype
+                )
+                xk_c = cat_cols(q_now, 0)
+                xk_b = cat_cols(nb_now, 0)
+
+                def acq(Xc):
+                    return qlog_nei(
+                        self._spec, self._params, self._cache,
+                        Xc, xk_c, xc_b, xk_b, base_samples, maximize=maximize,
+                    )
+            else:
+                # Each location contributes one row per output
+                P = 2 * (q_now + nb_now)
+                base_samples = jnp.asarray(
+                    sobol_normal(mc_samples, P, seed=seed), dtype=self._dtype
+                )
+                xk_b2 = jnp.concatenate([cat_cols(nb_now, 0), cat_cols(nb_now, 1)])
+                xc_b2 = jnp.concatenate([xc_b, xc_b])
+
+                # Reference ref_point default: per-output train min − 1e-3
+                if ref_point is None:
+                    y = np.asarray(self._yz)
+                    halves = np.split(y, d_out)
+                    rp = [
+                        (h.min() - 1e-3) if maximize else -(h.max() + 1e-3) for h in halves
+                    ]
+                else:
+                    rp = list(ref_point)
+
+                def acq(Xc):
+                    xc_c2 = jnp.concatenate([Xc, Xc])
+                    xk_c2 = jnp.concatenate([cat_cols(q_now, 0), cat_cols(q_now, 1)])
+                    return qlog_nehvi_2d(
+                        self._spec, self._params, self._cache,
+                        xc_c2, xk_c2, xc_b2, xk_b2, base_samples,
+                        jnp.asarray(rp, dtype=self._dtype), maximize=maximize,
+                    )
+
+            return optimize_acqf(
+                acq,
+                (jnp.asarray(lo, dtype=self._dtype), jnp.asarray(hi, dtype=self._dtype)),
+                q=q_now,
+                num_restarts=num_restarts,
+                raw_samples=raw_samples,
+                seed=seed,
+                dtype=self._dtype,
+                **optim_kwargs,
+            )
+
+        if sequential and q > 1:
+            cands = []
+            extra = None
+            val = None
+            for _ in range(q):
+                c, val = propose_one(1, extra)
+                cands.append(np.asarray(c))
+                extra = jnp.asarray(np.vstack(cands), dtype=self._dtype)
+            candidates = np.vstack(cands)
+            acq_value = float(val)
+        else:
+            c, val = propose_one(q, None)
+            candidates = np.asarray(c)
+            acq_value = float(val)
+
+        cand_parray = self.parray(
+            **{dim: candidates[:, i] for i, dim in enumerate(self.continuous_dims)},
+            stdzd=True,
+        )
+        return cand_parray, acq_value
+
+    ################################################################################
     # Gradients — trivial under jax.grad (the reference needed torch autograd,
     # reference gumbi/regression/botorch/GP.py:535-650)
     ################################################################################

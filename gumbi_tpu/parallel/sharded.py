@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # JAX ≥ 0.7 public API
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..ops.kernels import GPSpec, gram, gram_diag, noise_diag
 from ..ops.mll import DEFAULT_JITTER
@@ -91,6 +94,7 @@ def sharded_gram_mll(mesh: Mesh, spec: GPSpec, params, xc, xk, y, jitter=DEFAULT
         mesh=mesh,
         in_specs=(P(), P("data", None), P("data", None), P(None, None), P(None, None)),
         out_specs=P(None, None),
+        check_vma=False,  # all_gather(tiled) output is replicated over 'data'
     )
     def row_blocks(params, xc_rows, xk_rows, xc_all, xk_all):
         K_local = gram(spec, params, xc_rows, xk_rows, xc_all, xk_all)
@@ -122,7 +126,7 @@ def sharded_predict_diag(mesh: Mesh, spec: GPSpec, params, cache, xc_new, xk_new
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("data", None), P("data", None)),
+        in_specs=(P(), P(), P(), P(), P(), P("data", None), P("data", None)),
         out_specs=(P("data"), P("data")),
     )
     def block(params, L, alpha, xc, xk, xc_blk, xk_blk):
@@ -135,8 +139,7 @@ def sharded_predict_diag(mesh: Mesh, spec: GPSpec, params, cache, xc_new, xk_new
             var = var + noise_diag(spec, params, xk_blk, dtype=var.dtype)
         return mean, var
 
-    alpha_solved = jsl.cho_solve((cache.L, True), cache.alpha) if False else cache.alpha
-    mean, var = block(params, cache.L, alpha_solved, cache.xc, cache.xk, xc_p, xk_p)
+    mean, var = block(params, cache.L, cache.alpha, cache.xc, cache.xk, xc_p, xk_p)
     return mean[:m], var[:m]
 
 
