@@ -36,6 +36,7 @@ from gumbi_tpu.ops import (  # noqa: E402
 
 N_LOCS = int(os.environ.get("BENCH_N_LOCS", 5120))  # per output → 2×N_LOCS tall rows
 N_RESTARTS = int(os.environ.get("BENCH_RESTARTS", 8))
+RESTART_CHUNK = int(os.environ.get("BENCH_RESTART_CHUNK", 2))  # HBM control
 MAXITER = int(os.environ.get("BENCH_MAXITER", 100))
 GRID = int(os.environ.get("BENCH_GRID", 100))
 BASELINE_SECONDS = 1.0
@@ -118,7 +119,8 @@ def main():
 
     def fit_predict():
         params, neg, aux = fit_gp_map(
-            spec, xc, xk, y, la, lb, u0s, maxiter=MAXITER, tol=1e-5
+            spec, xc, xk, y, la, lb, u0s, maxiter=MAXITER, tol=1e-5,
+            restart_chunk=RESTART_CHUNK,
         )
         cache = posterior_cache(spec, params, xc, xk, y)
         mean, var = predict_diag(spec, params, cache, xc_new, xk_new, with_noise=True)

@@ -127,31 +127,36 @@ class GP(Regressor):
         See :meth:`build_model` for the model-structure arguments and
         :meth:`find_MAP` for optimizer controls (pass via ``MAP_kwargs``).
         """
-        self.specify_model(
-            outputs=outputs,
-            linear_dims=linear_dims,
-            continuous_dims=continuous_dims,
-            continuous_levels=continuous_levels,
-            continuous_coords=continuous_coords,
-            categorical_dims=categorical_dims,
-            categorical_levels=categorical_levels,
-            additive=additive,
-            **(spec_kwargs or {}),
-        )
-        self.build_model(
-            seed=seed,
-            continuous_kernel=continuous_kernel,
-            period=period,
-            heteroskedastic_inputs=heteroskedastic_inputs,
-            heteroskedastic_outputs=heteroskedastic_outputs,
-            sparse=sparse,
-            n_u=n_u,
-            ARD=ARD,
-            ls_bounds=ls_bounds,
-            mass=mass,
-            **(build_kwargs or {}),
-        )
-        self.find_MAP(**(MAP_kwargs or {}))
+        from ..utils.profiling import phase
+
+        with phase("specify_model"):
+            self.specify_model(
+                outputs=outputs,
+                linear_dims=linear_dims,
+                continuous_dims=continuous_dims,
+                continuous_levels=continuous_levels,
+                continuous_coords=continuous_coords,
+                categorical_dims=categorical_dims,
+                categorical_levels=categorical_levels,
+                additive=additive,
+                **(spec_kwargs or {}),
+            )
+        with phase("build_model"):
+            self.build_model(
+                seed=seed,
+                continuous_kernel=continuous_kernel,
+                period=period,
+                heteroskedastic_inputs=heteroskedastic_inputs,
+                heteroskedastic_outputs=heteroskedastic_outputs,
+                sparse=sparse,
+                n_u=n_u,
+                ARD=ARD,
+                ls_bounds=ls_bounds,
+                mass=mass,
+                **(build_kwargs or {}),
+            )
+        with phase("find_MAP"):
+            self.find_MAP(**(MAP_kwargs or {}))
         return self
 
     # ------------------------------------------------------------------
@@ -455,11 +460,73 @@ class GP(Regressor):
         return cor[np.ix_(idx, idx)]
 
     ################################################################################
-    # Posterior sampling
+    # Full-Bayes sampling and posterior draws
     ################################################################################
 
-    def draw_point_samples(self, points, n_samples=1, output=None, with_noise=False, seed=None):
-        """Joint posterior draws at supplied points, returned as a parray."""
+    def sample(
+        self,
+        draws=500,
+        tune=500,
+        chains=2,
+        seed=None,
+        n_leapfrog=32,
+        target_accept=0.8,
+        **kwargs,
+    ):
+        """Sample the hyperparameter posterior with adaptive HMC on device.
+
+        Replaces pm.sample (reference GP.py:815-835): dual-averaging step
+        size, Welford diagonal mass adaptation, chains vmapped in one XLA
+        program. Returns (and stores as :attr:`trace`) a dict of
+        natural-space arrays with leading (chains, draws) axes, plus
+        ``_stats`` with acceptance diagnostics.
+        """
+        from ..ops.hmc import hmc_sample
+        from ..ops.priors import constrain, unconstrain
+
+        assert self._spec is not None, "Call build_model first"
+        seed = self.seed if seed is None else seed
+        ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
+        ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
+
+        from ..ops.mll import map_neg_logp
+
+        def logp(uparams):
+            return -map_neg_logp(self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta)
+
+        if self._params is not None:
+            q0 = unconstrain(self._params)
+        else:
+            from ..ops import initial_params
+
+            u0s = initial_params(self._spec, self._ls_alpha, self._ls_beta, 1, seed, dtype=self._dtype)
+            q0 = {k: v[0] for k, v in u0s.items()}
+
+        key = jax.random.PRNGKey(seed)
+        usamples, stats = hmc_sample(
+            logp,
+            q0,
+            key,
+            draws=draws,
+            tune=tune,
+            chains=chains,
+            n_leapfrog=n_leapfrog,
+            target_accept=target_accept,
+        )
+        natural = constrain(usamples)
+        self.trace = {k: np.asarray(v) for k, v in natural.items()}
+        self.trace["_stats"] = {k: np.asarray(v) for k, v in stats.items()}
+        return self.trace
+
+    def draw_point_samples(
+        self, points, n_samples=1, output=None, with_noise=False, seed=None, source=None
+    ):
+        """Joint posterior draws at supplied points, returned as a parray.
+
+        ``source=None`` uses the MAP hyperparameters; passing the dict
+        returned by :meth:`sample` integrates over the hyperparameter
+        posterior (one function draw per subsampled hyperparameter draw).
+        """
         output = self._parse_prediction_output(output)
         if len(output) > 1:
             raise NotImplementedError(
@@ -468,17 +535,38 @@ class GP(Regressor):
         points_array, _, _ = self._prepare_points_for_prediction(points, output=output)
         xc, xk = self._split_X(np.asarray(points_array))
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
-        samples = draw_samples(
-            self._spec,
-            self._params,
-            self._cache,
-            xc,
-            xk,
-            key,
-            n_samples=n_samples,
-            with_noise=with_noise,
-        )
-        self.predictions = self.parray(**{output[0]: np.asarray(samples)}, stdzd=True)
+
+        if source is None or source is self.MAP:
+            samples = draw_samples(
+                self._spec,
+                self._params,
+                self._cache,
+                xc,
+                xk,
+                key,
+                n_samples=n_samples,
+                with_noise=with_noise,
+            )
+            out = np.asarray(samples)
+        else:
+            # Hyperparameter-posterior-integrated draws: subsample the trace
+            trace = {k: v for k, v in source.items() if not k.startswith("_")}
+            chains, ndraws = next(iter(trace.values())).shape[:2]
+            flat = {k: v.reshape(chains * ndraws, *v.shape[2:]) for k, v in trace.items()}
+            rng = np.random.default_rng(self.seed if seed is None else seed)
+            idxs = rng.choice(chains * ndraws, n_samples, replace=n_samples > chains * ndraws)
+            rows = []
+            for i, idx in enumerate(idxs):
+                p = {k: jnp.asarray(v[idx], dtype=self._dtype) for k, v in flat.items()}
+                cache_i = posterior_cache(self._spec, p, self._xc, self._xk, self._yz)
+                s = draw_samples(
+                    self._spec, p, cache_i, xc, xk, jax.random.fold_in(key, i),
+                    n_samples=1, with_noise=with_noise,
+                )
+                rows.append(np.asarray(s)[0])
+            out = np.stack(rows)
+
+        self.predictions = self.parray(**{output[0]: out}, stdzd=True)
         self.predictions_X = points
         return self.predictions
 
@@ -725,6 +813,121 @@ class GP(Regressor):
             points = self.append_categorical_points(points, categorical_levels=categorical_levels)
         grad = self.predict_points_grad(points, output=output, norm=norm)
         return grad.reshape(self.grid_parray.shape)
+
+    ################################################################################
+    # Checkpointing — the reference has no save/load (SURVEY §5.4); model
+    # state here is a small pytree, so persistence is one npz file.
+    ################################################################################
+
+    def save(self, path):
+        """Serialize the fitted model (spec, MAP, data arrays, config) to .npz."""
+        import json
+
+        assert self._spec is not None, "Nothing to save; build/fit a model first"
+        from dataclasses import asdict
+
+        meta = {
+            "spec": asdict(self._spec),
+            "outputs": self.outputs,
+            "out_col": self.out_col,
+            "seed": self.seed,
+            "continuous_dims": self.continuous_dims,
+            "linear_dims": self.linear_dims,
+            "categorical_dims": self.categorical_dims,
+            "continuous_levels": self.continuous_levels,
+            "categorical_levels": self.categorical_levels,
+            "continuous_coords": self.continuous_coords,
+            "categorical_coords": self.categorical_coords,
+            "filter_dims": self.filter_dims,
+            "additive": self.additive,
+            "model_specs": self.model_specs,
+            "sparse": self.sparse,
+            "stdzr_moments": {k: v for k, v in self.stdzr.items()},
+            "stdzr_log_vars": self.stdzr.log_vars,
+            "stdzr_logit_vars": self.stdzr.logit_vars,
+        }
+        arrays = {
+            "xc": np.asarray(self._xc),
+            "xk": np.asarray(self._xk),
+            "y": np.asarray(self._yz),
+            "ls_alpha": np.asarray(self._ls_alpha),
+            "ls_beta": np.asarray(self._ls_beta),
+        }
+        if self._params is not None:
+            arrays.update({f"param::{k}": np.asarray(v) for k, v in self._params.items()})
+        if self.sparse:
+            arrays["xu_c"] = np.asarray(self._xu_c)
+            arrays["xu_k"] = np.asarray(self._xu_k)
+        np.savez(path, __meta__=json.dumps(meta, default=str), **arrays)
+
+    @classmethod
+    def load(cls, path, dataset: DataSet):
+        """Rebuild a fitted GP from :meth:`save` output plus its DataSet."""
+        import json
+
+        from ..ops import CoregTerm, GPSpec, GPTerm
+
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["__meta__"]))
+            arrays = {k: z[k] for k in z.files if k != "__meta__"}
+
+        gp = cls(dataset, outputs=meta["outputs"], seed=meta["seed"])
+        for attr in (
+            "continuous_dims",
+            "linear_dims",
+            "categorical_dims",
+            "continuous_levels",
+            "categorical_levels",
+            "continuous_coords",
+            "categorical_coords",
+            "filter_dims",
+            "additive",
+            "model_specs",
+            "sparse",
+        ):
+            setattr(gp, attr, meta[attr])
+
+        sd = meta["spec"]
+        terms = tuple(
+            GPTerm(
+                suffix=t["suffix"],
+                kernel=t["kernel"],
+                linear_idx=tuple(t["linear_idx"]),
+                coregs=tuple(CoregTerm(**cg) for cg in t["coregs"]),
+            )
+            for t in sd["terms"]
+        )
+        noise_coreg = CoregTerm(**sd["noise_coreg"]) if sd["noise_coreg"] else None
+        gp._spec = GPSpec(
+            terms=terms,
+            d_cont=sd["d_cont"],
+            ard=sd["ard"],
+            noise_coreg=noise_coreg,
+            period=tuple(sd["period"]) if sd["period"] else None,
+        )
+        gp.model = gp._spec
+
+        gp._xc = jnp.asarray(arrays["xc"], dtype=gp._dtype)
+        gp._xk = jnp.asarray(arrays["xk"], dtype=jnp.int32)
+        gp._yz = jnp.asarray(arrays["y"], dtype=gp._dtype)
+        gp._ls_alpha = arrays["ls_alpha"]
+        gp._ls_beta = arrays["ls_beta"]
+        gp._build_cat_maps()
+        if gp.sparse:
+            gp._xu_c = jnp.asarray(arrays["xu_c"], dtype=gp._dtype)
+            gp._xu_k = jnp.asarray(arrays["xu_k"], dtype=jnp.int32)
+
+        params = {
+            k[len("param::"):]: jnp.asarray(v, dtype=(jnp.int32 if v.dtype.kind == "i" else gp._dtype))
+            for k, v in arrays.items()
+            if k.startswith("param::")
+        }
+        if params:
+            gp._params = params
+            gp.MAP = {k: np.asarray(v) for k, v in params.items()}
+            if not gp.sparse:
+                gp._cache = posterior_cache(gp._spec, gp._params, gp._xc, gp._xk, gp._yz)
+        return gp
 
     @staticmethod
     def _get_pgrad_norm(pgrad):

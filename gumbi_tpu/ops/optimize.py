@@ -70,21 +70,44 @@ def lbfgs_minimize(fun, x0, maxiter=250, tol=1e-6, memory_size=16):
     return best_x, best_f, it
 
 
-def multi_restart_minimize(fun, x0s, maxiter=250, tol=1e-6):
+def multi_restart_minimize(fun, x0s, maxiter=250, tol=1e-6, chunk=None):
     """vmapped L-BFGS over stacked starting points; returns the best optimum.
 
     ``x0s`` is a pytree whose leaves carry a leading restart axis. Restarts
     that diverge contribute +inf and are ignored in the argmin.
+
+    ``chunk`` bounds how many restarts run concurrently: restarts are split
+    into ⌈R/chunk⌉ groups evaluated sequentially (lax.map of vmap), so peak
+    memory scales with ``chunk`` × the per-restart working set instead of R×.
+    Essential for large-N fits where each restart holds several N² buffers.
     """
     runner = lambda x0: lbfgs_minimize(fun, x0, maxiter=maxiter, tol=tol)
-    xs, fs, its = jax.vmap(runner)(x0s)
+    R = jax.tree_util.tree_leaves(x0s)[0].shape[0]
+
+    if chunk is None or chunk >= R:
+        xs, fs, its = jax.vmap(runner)(x0s)
+    else:
+        pad = (-R) % chunk
+        padded = jax.tree_util.tree_map(
+            lambda leaf: jnp.concatenate(
+                [leaf] + [leaf[:1]] * pad, axis=0
+            ).reshape((R + pad) // chunk, chunk, *leaf.shape[1:]),
+            x0s,
+        )
+        xs, fs, its = jax.lax.map(lambda grp: jax.vmap(runner)(grp), padded)
+        xs = jax.tree_util.tree_map(
+            lambda leaf: leaf.reshape(R + pad, *leaf.shape[2:])[:R], xs
+        )
+        fs = fs.reshape(-1)[:R]
+        its = its.reshape(-1)[:R]
+
     fs_safe = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
     best = jnp.argmin(fs_safe)
     x_best = jax.tree_util.tree_map(lambda leaf: leaf[best], xs)
     return x_best, fs_safe[best], {"all_values": fs, "iters": its, "best_restart": best}
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter",))
+@partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter", "restart_chunk"))
 def fit_gp_map(
     spec: GPSpec,
     xc,
@@ -96,16 +119,20 @@ def fit_gp_map(
     maxiter=250,
     tol=1e-6,
     jitter=DEFAULT_JITTER,
+    restart_chunk=None,
 ):
     """MAP-fit the GP hyperparameters by vmapped multi-restart L-BFGS.
 
     Parameters are optimized in unconstrained space against
     :func:`gumbi_tpu.ops.mll.map_neg_logp`. Returns (params_natural,
     neg_logp_best, aux) where aux carries per-restart diagnostics.
+    ``restart_chunk`` bounds concurrent restarts (memory control at large N).
     """
 
     def objective(uparams):
         return map_neg_logp(spec, uparams, xc, xk, y, ls_alpha, ls_beta, jitter)
 
-    u_best, f_best, aux = multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+    u_best, f_best, aux = multi_restart_minimize(
+        objective, u0s, maxiter=maxiter, tol=tol, chunk=restart_chunk
+    )
     return constrain(u_best), f_best, aux

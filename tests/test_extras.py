@@ -1,0 +1,147 @@
+"""HMC sampling, GPC, FITC, checkpointing, cross-validation, profiling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax.numpy as jnp
+
+import gumbi_tpu as gmb
+from gumbi_tpu.utils.profiling import Timings, phase
+
+
+@pytest.fixture(scope="module")
+def small_ds():
+    df = gmb.data.cars(n=40, seed=11)
+    return gmb.DataSet(
+        df, outputs=["mpg", "acceleration"], log_vars=["mpg", "acceleration", "horsepower"]
+    )
+
+
+@pytest.fixture(scope="module")
+def fitted(small_ds):
+    gp = gmb.GP(small_ds)
+    gp.fit(
+        outputs=["mpg"],
+        continuous_dims=["horsepower"],
+        MAP_kwargs=dict(n_restarts=2, maxiter=100),
+    )
+    return gp
+
+
+def test_hmc_standard_normal():
+    """The sampler must recover a known Gaussian's moments."""
+    from gumbi_tpu.ops.hmc import hmc_sample
+
+    import jax
+
+    def logp(q):
+        return -0.5 * jnp.sum(q["x"] ** 2) - 0.5 * jnp.sum((q["z"] - 2.0) ** 2 / 4.0)
+
+    q0 = {"x": jnp.zeros(3), "z": jnp.zeros(2)}
+    samples, stats = hmc_sample(
+        logp, q0, jax.random.PRNGKey(0), draws=800, tune=400, chains=2, n_leapfrog=16
+    )
+    xs = np.asarray(samples["x"]).reshape(-1, 3)
+    zs = np.asarray(samples["z"]).reshape(-1, 2)
+    assert float(stats["mean_accept"]) > 0.5
+    assert np.allclose(xs.mean(0), 0.0, atol=0.15)
+    assert np.allclose(xs.std(0), 1.0, atol=0.2)
+    assert np.allclose(zs.mean(0), 2.0, atol=0.3)
+    assert np.allclose(zs.std(0), 2.0, atol=0.4)
+
+
+@pytest.mark.slow
+def test_gp_sample_and_trace_draws(fitted):
+    trace = fitted.sample(draws=100, tune=100, chains=2, n_leapfrog=16)
+    assert trace["ls_total"].shape[:2] == (2, 100)
+    assert np.all(trace["σ"] > 0)
+    # Posterior should concentrate near the MAP
+    assert np.isfinite(trace["_stats"]["mean_accept"])
+
+    X, _ = fitted.get_structured_data()
+    pts = X[:5]
+    draws = fitted.draw_point_samples(pts, n_samples=4, source=trace)
+    assert draws.values().shape == (4, 5)
+
+
+def test_draw_point_samples_map(fitted):
+    X, _ = fitted.get_structured_data()
+    pts = X[:6]
+    draws = fitted.draw_point_samples(pts, n_samples=3)
+    assert draws.values().shape == (3, 6)
+    # Draws should be positive (log-normal output) and near the data scale
+    assert np.all(draws.values() > 0)
+
+
+def test_save_load_roundtrip(tmp_path, fitted, small_ds):
+    path = tmp_path / "gp_model.npz"
+    fitted.save(path)
+    gp2 = gmb.GP.load(path, small_ds)
+
+    assert gp2.continuous_dims == fitted.continuous_dims
+    assert np.allclose(gp2.MAP["ls_total"], fitted.MAP["ls_total"])
+
+    X, _ = fitted.get_structured_data()
+    m1, v1 = fitted.predict(np.asarray(X.z.values())[:, None][:10])
+    m2, v2 = gp2.predict(np.asarray(X.z.values())[:, None][:10])
+    assert np.allclose(m1, m2, atol=1e-12)
+    assert np.allclose(v1, v2, atol=1e-12)
+
+
+def test_cross_validate(small_ds):
+    gp = gmb.GP(small_ds, outputs="mpg")
+    gp.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+    result = gp.cross_validate(pct_train=0.7, warm_start=False, n_restarts=2, maxiter=80)
+    assert set(result.keys()) == {"train", "test"}
+    assert np.isfinite(result["train"]["NLPDs"]).all()
+    assert np.isfinite(result["test"]["NLPDs"]).all()
+    # Train errors should generally be smaller than test errors
+    assert np.abs(result["train"]["errors"]).mean() <= np.abs(result["test"]["errors"]).mean() * 3
+
+
+def test_fitc_close_to_dense(small_ds):
+    gp_d = gmb.GP(small_ds)
+    gp_d.fit(outputs=["mpg"], continuous_dims=["horsepower"], MAP_kwargs=dict(n_restarts=2, maxiter=100))
+    gp_s = gmb.GP(small_ds)
+    gp_s.fit(
+        outputs=["mpg"], continuous_dims=["horsepower"], sparse=True, n_u=30,
+        MAP_kwargs=dict(n_restarts=2, maxiter=100),
+    )
+    gp_d.prepare_grid(resolution=20)
+    gp_s.prepare_grid(resolution=20)
+    yd = gp_d.predict_grid()
+    ys = gp_s.predict_grid()
+    # With n_u close to N the FITC posterior mean tracks the dense one
+    assert np.allclose(ys.μ, yd.μ, rtol=0.1, atol=0.5)
+
+
+def test_gpc_separable():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-2, 2, 80)
+    labels = (x > 0).astype(float)
+    df = pd.DataFrame({"x": x, "label": labels})
+    ds = gmb.DataSet(df, outputs=["label"])
+    gpc = gmb.GPC(ds)
+    gpc.fit(
+        outputs=["label"], continuous_dims=["x"], heteroskedastic_outputs=False,
+        MAP_kwargs=dict(n_restarts=2, maxiter=80),
+    )
+    pts = gpc.parray(x=np.array([-1.5, 1.5]))
+    proba = gpc.predict_proba(pts)
+    assert proba[0] < 0.3 and proba[1] > 0.7
+
+
+def test_profiling_registry():
+    reg = Timings()
+    with phase("unit", registry=reg):
+        pass
+    assert "unit" in reg.totals()
+    assert reg.report()
+
+
+def test_fit_records_phases(fitted):
+    from gumbi_tpu.utils.profiling import timings
+
+    totals = timings.totals()
+    assert "find_MAP" in totals and totals["find_MAP"] > 0
