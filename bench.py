@@ -1,11 +1,15 @@
 """Benchmark: fit + predict_grid for a 10k-point 2-output LMC GP on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-value = steady-state wall-clock seconds for MAP fit (8-restart vmapped L-BFGS)
-plus a 100-pt-per-output grid prediction. vs_baseline is measured against the
-BASELINE.json north-star budget of 1.0 s (v5e-8 target; we run on 1 chip).
+value = steady-state wall-clock seconds for the MAP fit (8-restart L-BFGS,
+restarts dispatched in vmapped chunks) plus a 100-pt-per-output grid
+prediction. vs_baseline is measured against the BASELINE.json north-star
+budget of 1.0 s (a v5e-8 target; this runs on 1 chip).
 
-Extra diagnostics (Gram+Cholesky GFLOP/s, compile time) go to stderr.
+The model is the bench-native Kronecker formulation of the LMC: identical
+posterior to the dense tall model (verified in tests/test_kronecker.py), with
+the (ND)³ Cholesky replaced by a batched (D, N, N) one. Extra diagnostics
+(Gram+Cholesky GFLOP/s, compile time) go to stderr.
 """
 
 import json
@@ -23,20 +27,14 @@ import jax.numpy as jnp  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from gumbi_tpu.ops import (  # noqa: E402
-    CoregTerm,
-    GPSpec,
-    GPTerm,
-    fit_gp_map,
-    initial_params,
-    ls_prior_params,
-    posterior_cache,
-    predict_diag,
-)
+from gumbi_tpu.ops import CoregTerm, GPSpec, GPTerm, initial_params, ls_prior_params  # noqa: E402
+from gumbi_tpu.ops.kronecker import kron_cache, kron_neg_logp, kron_predict_diag  # noqa: E402
+from gumbi_tpu.ops.optimize import multi_restart_minimize  # noqa: E402
+from gumbi_tpu.ops.priors import constrain  # noqa: E402
 
-N_LOCS = int(os.environ.get("BENCH_N_LOCS", 5120))  # per output → 2×N_LOCS tall rows
+N_LOCS = int(os.environ.get("BENCH_N_LOCS", 5120))  # per output → 2×N_LOCS points
 N_RESTARTS = int(os.environ.get("BENCH_RESTARTS", 8))
-RESTART_CHUNK = int(os.environ.get("BENCH_RESTART_CHUNK", 2))  # HBM control
+RESTART_CHUNK = int(os.environ.get("BENCH_RESTART_CHUNK", 4))  # vmap width per dispatch
 MAXITER = int(os.environ.get("BENCH_MAXITER", 100))
 GRID = int(os.environ.get("BENCH_GRID", 100))
 BASELINE_SECONDS = 1.0
@@ -49,14 +47,9 @@ def make_problem():
     Xb = rng.uniform(-2, 2, size=(N_LOCS, 2)).astype(np.float32)
     f1 = np.sin(1.3 * Xb[:, 0]) * np.cos(0.9 * Xb[:, 1])
     f2 = 0.7 * f1 + 0.3 * np.cos(1.1 * Xb[:, 0])
-    y1 = f1 + rng.normal(0, 0.1, N_LOCS)
-    y2 = f2 + rng.normal(0, 0.15, N_LOCS)
-
-    xc = jnp.asarray(np.vstack([Xb, Xb]), dtype=DTYPE)
-    xk = jnp.asarray(
-        np.concatenate([np.zeros(N_LOCS), np.ones(N_LOCS)])[:, None].astype(np.int32)
-    )
-    y = jnp.asarray(np.concatenate([y1, y2]), dtype=DTYPE)
+    Y = np.stack(
+        [f1 + rng.normal(0, 0.1, N_LOCS), f2 + rng.normal(0, 0.15, N_LOCS)], axis=1
+    ).astype(np.float32)
 
     out_cg = CoregTerm(name="Parameter", col=0, d_out=2)
     spec = GPSpec(
@@ -66,7 +59,6 @@ def make_problem():
         noise_coreg=CoregTerm(name="Output_noise", col=0, d_out=2),
     )
 
-    # Lengthscale prior bounds from subsampled pairwise distances
     sub = Xb[rng.choice(N_LOCS, min(512, N_LOCS), replace=False)]
     lowers, uppers = [], []
     for j in range(2):
@@ -75,75 +67,77 @@ def make_problem():
         lowers.append(max(float(dd.min()), 0.01))
         uppers.append(float(dd.max()))
     ls_alpha, ls_beta = ls_prior_params(lowers, uppers)
-    return spec, xc, xk, y, ls_alpha, ls_beta
-
-
-def grid_points():
-    g = np.linspace(-2, 2, GRID).astype(np.float32)
-    pts = np.column_stack([g, np.zeros_like(g)])
-    xc_new = jnp.asarray(np.vstack([pts, pts]), dtype=DTYPE)
-    xk_new = jnp.asarray(
-        np.concatenate([np.zeros(GRID), np.ones(GRID)])[:, None].astype(np.int32)
-    )
-    return xc_new, xk_new
-
-
-def bench_gram_chol_rate(spec, params, xc, xk, reps=3):
-    """Gram+Cholesky hot-path throughput (GFLOP/s) on this chip."""
-    from gumbi_tpu.ops.mll import cholesky_factor
-
-    n = xc.shape[0]
-
-    @jax.jit
-    def hot(params, xc, xk):
-        L = cholesky_factor(spec, params, xc, xk, xc.dtype)
-        return jnp.sum(jnp.log(jnp.diag(L)))
-
-    float(hot(params, xc, xk))  # compile
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        v = float(hot(params, xc, xk))
-    dt = (time.perf_counter() - t0) / reps
-    flops = n**3 / 3 + 2 * n * n * spec.d_cont
-    return flops / dt / 1e9, dt, v
+    return spec, jnp.asarray(Xb), jnp.asarray(Y), ls_alpha, ls_beta
 
 
 def main():
     t_setup = time.time()
-    spec, xc, xk, y, ls_alpha, ls_beta = make_problem()
-    xc_new, xk_new = grid_points()
+    spec, xc_locs, Y, ls_alpha, ls_beta = make_problem()
+    g = np.linspace(-2, 2, GRID).astype(np.float32)
+    xc_grid = jnp.asarray(np.column_stack([g, np.zeros_like(g)]), dtype=DTYPE)
+
     la = jnp.asarray(ls_alpha, dtype=DTYPE)
     lb = jnp.asarray(ls_beta, dtype=DTYPE)
     u0s = initial_params(spec, ls_alpha, ls_beta, n_restarts=N_RESTARTS, seed=0, dtype=DTYPE)
     print(f"[bench] setup {time.time()-t_setup:.1f}s, device={jax.devices()[0]}", file=sys.stderr)
 
+    @jax.jit
+    def fit_chunk(u0s_chunk):
+        def objective(u):
+            return kron_neg_logp(spec, u, xc_locs, Y, la, lb)
+
+        return multi_restart_minimize(objective, u0s_chunk, maxiter=MAXITER, tol=1e-5)
+
+    @jax.jit
+    def predict(params):
+        kc = kron_cache(spec, params, xc_locs, Y)
+        return kron_predict_diag(spec, params, kc, xc_grid, with_noise=True)
+
     def fit_predict():
-        params, neg, aux = fit_gp_map(
-            spec, xc, xk, y, la, lb, u0s, maxiter=MAXITER, tol=1e-5,
-            restart_chunk=RESTART_CHUNK,
-        )
-        cache = posterior_cache(spec, params, xc, xk, y)
-        mean, var = predict_diag(spec, params, cache, xc_new, xk_new, with_noise=True)
-        return params, neg, mean, var
+        # Restarts dispatched in vmapped chunks from the host: same compiled
+        # program per chunk, HBM bounded by chunk width.
+        best_u, best_f = None, np.inf
+        for c0 in range(0, N_RESTARTS, RESTART_CHUNK):
+            chunk = {k: v[c0 : c0 + RESTART_CHUNK] for k, v in u0s.items()}
+            u, f, aux = fit_chunk(chunk)
+            f = float(f)
+            if f < best_f:
+                best_f, best_u = f, u
+        params = constrain(best_u)
+        mean, var = predict(params)
+        return params, best_f, np.asarray(mean), np.asarray(var)
 
     t0 = time.time()
     params, neg, mean, var = fit_predict()
-    jax.block_until_ready(mean)
-    _ = float(neg)
     compile_and_run = time.time() - t0
-    print(f"[bench] compile+first-run {compile_and_run:.1f}s, neg_logp={float(neg):.2f}", file=sys.stderr)
+    print(
+        f"[bench] compile+first-run {compile_and_run:.1f}s, neg_logp={neg:.2f}",
+        file=sys.stderr,
+    )
 
     t0 = time.time()
     params, neg, mean, var = fit_predict()
-    _ = float(neg)
-    _ = np.asarray(mean)
     steady = time.time() - t0
 
-    rate, chol_dt, _ = bench_gram_chol_rate(spec, {k: v for k, v in params.items()}, xc, xk)
+    # Hot-path throughput: batched (D, N, N) Gram+Cholesky
+    from gumbi_tpu.ops.kronecker import kron_mll
+
+    @jax.jit
+    def hot(params):
+        return kron_mll(spec, params, xc_locs, Y)
+
+    float(hot(params))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        v = float(hot(params))
+    dt = (time.perf_counter() - t0) / reps
+    d_out = Y.shape[1]
+    flops = d_out * (N_LOCS**3 / 3) + 2 * N_LOCS * N_LOCS * spec.d_cont
+    rate = flops / dt / 1e9
     print(
-        f"[bench] steady fit+predict {steady:.3f}s | Gram+Chol {rate:.0f} GFLOP/s "
-        f"({chol_dt*1e3:.1f} ms per {xc.shape[0]}² factorization) | "
-        f"mean range [{float(np.min(mean)):.3f}, {float(np.max(mean)):.3f}]",
+        f"[bench] steady fit+predict {steady:.3f}s | batched Gram+Chol {rate:.0f} GFLOP/s "
+        f"({dt*1e3:.1f} ms per MLL) | mean range [{mean.min():.3f}, {mean.max():.3f}]",
         file=sys.stderr,
     )
 

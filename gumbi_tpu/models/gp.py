@@ -83,6 +83,7 @@ class GP(Regressor):
         self._params = None
         self._cache = None
         self._cat_maps = {}
+        self._structure = "Hadamard"
         self._dtype = jnp.float64
 
         self.model_specs = {
@@ -118,6 +119,7 @@ class GP(Regressor):
         ARD=True,
         ls_bounds=None,
         mass=0.98,
+        multitask_kernel=None,
         spec_kwargs=None,
         build_kwargs=None,
         MAP_kwargs=None,
@@ -153,6 +155,7 @@ class GP(Regressor):
                 ARD=ARD,
                 ls_bounds=ls_bounds,
                 mass=mass,
+                multitask_kernel=multitask_kernel,
                 **(build_kwargs or {}),
             )
         with phase("find_MAP"):
@@ -238,12 +241,19 @@ class GP(Regressor):
         ARD=True,
         ls_bounds=None,
         mass=0.98,
+        multitask_kernel=None,
     ):
         r"""Compile the covariance structure and priors for the current spec.
 
         Model (reference GP.py:61-94): y ~ N(μ, σ); μ ~ GP(K);
         K = (K_cont + K_lin)·K_coreg_outputs·∏ K_coreg_cat, with an additive
         per-category variant when ``additive=True``.
+
+        ``multitask_kernel``: None (auto), 'Kronecker', or 'Hadamard'.
+        When every output is observed at identical locations the Kronecker
+        reformulation is numerically identical but ~D² cheaper (batched
+        (D, N, N) Cholesky instead of one (ND, ND)); auto selects it whenever
+        the structure allows. 'Hadamard' forces the tall path.
         """
         if heteroskedastic_inputs:
             raise NotImplementedError("Heteroskedasticity over inputs is not yet implemented.")
@@ -351,6 +361,45 @@ class GP(Regressor):
         self._xc, self._xk = self._split_X(X)
         self._yz = jnp.asarray(y, dtype=self._dtype)
 
+        # Structure selection: Kronecker fast path when all outputs share the
+        # same locations and the only categorical factor is the output column.
+        if multitask_kernel is not None:
+            multitask_kernel = multitask_kernel.capitalize()
+            assert_in("multitask_kernel", multitask_kernel, ["Kronecker", "Hadamard"])
+        self._structure = "Hadamard"
+        d_out = len(self.outputs)
+        kron_structure_ok = (
+            not self.additive
+            and not sparse
+            and d_out > 1
+            and self.categorical_dims == [self.out_col]
+            and multitask_kernel != "Hadamard"
+        )
+        if kron_structure_ok:
+            n_tall = int(self._xc.shape[0])
+            if n_tall % d_out == 0:
+                n_loc = n_tall // d_out
+                xc_np = np.asarray(self._xc)
+                xk_np = np.asarray(self._xk[:, 0])
+                blocks_equal = all(
+                    np.array_equal(xc_np[:n_loc], xc_np[j * n_loc : (j + 1) * n_loc])
+                    and np.all(xk_np[j * n_loc : (j + 1) * n_loc] == xk_np[j * n_loc])
+                    for j in range(d_out)
+                )
+                if blocks_equal:
+                    self._structure = "Kronecker"
+                    self._xc_locs = self._xc[:n_loc]
+                    # Column j of Y = output with coregion index j; tall blocks
+                    # are output-major in index order already.
+                    order = np.argsort(xk_np[::n_loc], kind="stable")
+                    Y = np.asarray(self._yz).reshape(d_out, n_loc)[order].T
+                    self._Y = jnp.asarray(Y, dtype=self._dtype)
+        if multitask_kernel == "Kronecker" and self._structure != "Kronecker":
+            raise ValueError(
+                "Kronecker structure requested but outputs are not all observed "
+                "at identical locations (or the model has extra categorical dims)."
+            )
+
         # Lengthscale priors from pairwise distances of the continuous block
         X_s = np.asarray(X[:, :d_cont], dtype=float)
         lowers, uppers = self._prepare_ls_bounds(X_s, ARD, ls_bounds)
@@ -404,6 +453,22 @@ class GP(Regressor):
             )(u0s)
             params = constrain(u_best)
             self._cache = None
+        elif self._structure == "Kronecker":
+            from ..ops.kronecker import kron_cache, kron_neg_logp
+            from ..ops.optimize import multi_restart_minimize
+            from ..ops.priors import constrain
+
+            def objective(uparams):
+                return kron_neg_logp(
+                    self._spec, uparams, self._xc_locs, self._Y, ls_alpha, ls_beta
+                )
+
+            u_best, neg_logp, aux = jax.jit(
+                lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+            )(u0s)
+            params = constrain(u_best)
+            self._kron_cache = kron_cache(self._spec, params, self._xc_locs, self._Y)
+            self._cache = None
         else:
             params, neg_logp, aux = fit_gp_map(
                 self._spec,
@@ -420,9 +485,16 @@ class GP(Regressor):
         self._neg_logp = float(neg_logp)
         self._fit_aux = {k: np.asarray(v) for k, v in aux.items()}
         self.MAP = {k: np.asarray(v) for k, v in params.items()}
-        if not self.sparse:
+        if not self.sparse and self._structure != "Kronecker":
             self._cache = posterior_cache(self._spec, self._params, self._xc, self._xk, self._yz)
         return self.MAP
+
+    def _ensure_dense_cache(self):
+        """Dense tall-basis factorization, built lazily when a path (BO,
+        joint sampling) needs full covariances the Kronecker cache lacks."""
+        if self._cache is None:
+            self._cache = posterior_cache(self._spec, self._params, self._xc, self._xk, self._yz)
+        return self._cache
 
     ################################################################################
     # Prediction
@@ -442,11 +514,46 @@ class GP(Regressor):
                 self._spec, self._params, self._xc, self._xk,
                 self._xu_c, self._xu_k, self._yz, xc, xk, with_noise=with_noise,
             )
+        elif self._structure == "Kronecker":
+            mean, var = self._kron_predict_tall(xc, xk, with_noise)
         else:
             mean, var = predict_diag(
                 self._spec, self._params, self._cache, xc, xk, with_noise=with_noise
             )
         return np.asarray(mean), np.asarray(var)
+
+    def _kron_predict_tall(self, xc, xk, with_noise):
+        """Kronecker prediction for tall (per-output block) point arrays.
+
+        Prediction points arrive as identical location blocks tiled per
+        requested output (built by ``_prepare_points_for_prediction``); each
+        block is answered from the shared-location Kronecker posterior.
+        """
+        from ..ops.kronecker import kron_predict_diag
+
+        xk_col = np.asarray(xk[:, 0])
+        # Contiguous output blocks in order of appearance
+        block_ids = []
+        starts = [0]
+        for i in range(1, len(xk_col)):
+            if xk_col[i] != xk_col[i - 1]:
+                starts.append(i)
+        starts.append(len(xk_col))
+        m = starts[1] - starts[0]
+        xc_np = np.asarray(xc)
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            assert s1 - s0 == m, "Kronecker prediction requires equal per-output blocks"
+            assert np.array_equal(xc_np[s0:s1], xc_np[:m]), (
+                "Kronecker prediction requires identical locations per output"
+            )
+            block_ids.append(int(xk_col[s0]))
+
+        mean_all, var_all = kron_predict_diag(
+            self._spec, self._params, self._kron_cache, xc[:m], with_noise=with_noise
+        )  # (D, m)
+        mean = jnp.concatenate([mean_all[j] for j in block_ids])
+        var = jnp.concatenate([var_all[j] for j in block_ids])
+        return mean, var
 
     def output_correlation(self, param_coords) -> np.ndarray:
         """Correlation between outputs from the learned output coregion."""
@@ -540,7 +647,7 @@ class GP(Regressor):
             samples = draw_samples(
                 self._spec,
                 self._params,
-                self._cache,
+                self._ensure_dense_cache(),
                 xc,
                 xk,
                 key,
@@ -694,7 +801,7 @@ class GP(Regressor):
 
                 def acq(Xc):
                     return qlog_nei(
-                        self._spec, self._params, self._cache,
+                        self._spec, self._params, self._ensure_dense_cache(),
                         Xc, xk_c, xc_b, xk_b, base_samples, maximize=maximize,
                     )
             else:
@@ -720,7 +827,7 @@ class GP(Regressor):
                     xc_c2 = jnp.concatenate([Xc, Xc])
                     xk_c2 = jnp.concatenate([cat_cols(q_now, 0), cat_cols(q_now, 1)])
                     return qlog_nehvi_2d(
-                        self._spec, self._params, self._cache,
+                        self._spec, self._params, self._ensure_dense_cache(),
                         xc_c2, xk_c2, xc_b2, xk_b2, base_samples,
                         jnp.asarray(rp, dtype=self._dtype), maximize=maximize,
                     )
@@ -784,6 +891,7 @@ class GP(Regressor):
             points, output=output
         )
         xc, xk = self._split_X(np.asarray(points_array))
+        self._ensure_dense_cache()
 
         grad_fn = jax.vmap(jax.grad(self._mean_fn_single, argnums=0), in_axes=(0, 0))
         dydX = np.asarray(grad_fn(xc, xk))  # (M_total, d_cont) in z-space
@@ -842,6 +950,7 @@ class GP(Regressor):
             "additive": self.additive,
             "model_specs": self.model_specs,
             "sparse": self.sparse,
+            "structure": self._structure,
             "stdzr_moments": {k: v for k, v in self.stdzr.items()},
             "stdzr_log_vars": self.stdzr.log_vars,
             "stdzr_logit_vars": self.stdzr.logit_vars,
@@ -858,6 +967,9 @@ class GP(Regressor):
         if self.sparse:
             arrays["xu_c"] = np.asarray(self._xu_c)
             arrays["xu_k"] = np.asarray(self._xu_k)
+        if self._structure == "Kronecker":
+            arrays["xc_locs"] = np.asarray(self._xc_locs)
+            arrays["Y"] = np.asarray(self._Y)
         np.savez(path, __meta__=json.dumps(meta, default=str), **arrays)
 
     @classmethod
@@ -922,10 +1034,18 @@ class GP(Regressor):
             for k, v in arrays.items()
             if k.startswith("param::")
         }
+        gp._structure = meta.get("structure", "Hadamard")
+        if gp._structure == "Kronecker":
+            gp._xc_locs = jnp.asarray(arrays["xc_locs"], dtype=gp._dtype)
+            gp._Y = jnp.asarray(arrays["Y"], dtype=gp._dtype)
         if params:
             gp._params = params
             gp.MAP = {k: np.asarray(v) for k, v in params.items()}
-            if not gp.sparse:
+            if gp._structure == "Kronecker":
+                from ..ops.kronecker import kron_cache
+
+                gp._kron_cache = kron_cache(gp._spec, gp._params, gp._xc_locs, gp._Y)
+            elif not gp.sparse:
                 gp._cache = posterior_cache(gp._spec, gp._params, gp._xc, gp._xk, gp._yz)
         return gp
 

@@ -44,6 +44,7 @@ class GPC(GP):
         ARD=True,
         ls_bounds=None,
         mass=0.98,
+        multitask_kernel=None,
     ):
         """Build the latent-GP covariance structure for classification."""
         if heteroskedastic_inputs:
@@ -67,6 +68,7 @@ class GPC(GP):
             ARD=ARD,
             ls_bounds=ls_bounds,
             mass=mass,
+            multitask_kernel="Hadamard",
         )
         self.latent = True
 

@@ -1,0 +1,202 @@
+"""Kronecker-structured multi-output GP algebra.
+
+When every output is observed at the same input locations (the common lab
+case), the tall covariance factors exactly:
+
+    K_full = B ⊗ Kx + Σn ⊗ I_N,   B = W Wᵀ + diag(κ),  Σn = diag(s²)
+
+Whitening by Σn^{-1/2} and eigendecomposing the (tiny) D×D task matrix turns
+the (ND)³ Cholesky into a *batched* (D, N, N) Cholesky of (ωᵢ·Kx + I):
+~D² fewer FLOPs, and the D factorizations run as one batched MXU kernel.
+This is the TPU-native counterpart of the reference's KroneckerMultiTaskGP
+selection (reference gumbi/regression/botorch/GP.py:232-241) — here it is a
+numerically *identical* reformulation of the same LMC model, so it is used
+whenever the structure allows.
+
+Layout conventions: Y is (N, D) column-per-output; tall vectors stack
+output-major ([out0 rows..., out1 rows...]) matching the tall path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from .kernels import GPSpec, GPTerm, _term_cont, coreg_matrix
+from .mll import DEFAULT_JITTER
+from .priors import constrain, log_prior
+
+__all__ = ["kron_parts", "kron_mll", "kron_neg_logp", "kron_cache", "kron_predict_diag", "KronCache"]
+
+
+def _continuous_gram(spec: GPSpec, params, xc1, xc2):
+    """Continuous (+linear) part of the single term, no coregion factors."""
+    return _term_cont(spec, spec.terms[0], params, xc1, xc2)
+
+
+def _continuous_diag(spec: GPSpec, params, xc):
+    term = spec.terms[0]
+    s = term.suffix
+    η = params[f"η_{s}"]
+    d = jnp.full(xc.shape[0], η**2, dtype=xc.dtype)
+    if term.linear_idx:
+        c = params[f"c_{s}"]
+        τ = params[f"τ_{s}"]
+        idx = jnp.asarray(term.linear_idx)
+        d = d + τ * jnp.sum((xc[:, idx] - c) ** 2, axis=-1)
+    return d
+
+
+def kron_parts(spec: GPSpec, params, jitter=DEFAULT_JITTER):
+    """(B, s2) task matrix and per-output noise variance (jitter folded in)."""
+    (term,) = spec.terms
+    (out_cg,) = term.coregs
+    B = coreg_matrix(params[f"W_{out_cg.name}"], params[f"κ_{out_cg.name}"])
+    σ2 = params["σ"] ** 2
+    if spec.noise_coreg is not None:
+        cg = spec.noise_coreg
+        Bn = coreg_matrix(params[f"W_{cg.name}"], params[f"κ_{cg.name}"])
+        s2 = σ2 * jnp.diag(Bn) + jitter
+    else:
+        s2 = σ2 * jnp.ones(out_cg.d_out, dtype=B.dtype) + jitter
+    return B, s2
+
+
+def _eigh_2x2(M):
+    """Closed-form symmetric 2×2 eigendecomposition.
+
+    jnp.linalg.eigh lowers to an iterative QDWH program on TPU whose forward
+    and backward HLO dominates compile time; for the D=2 task matrix the
+    analytic form is exact, tiny, and cleanly differentiable away from
+    degeneracy.
+    """
+    a, b, c = M[0, 0], M[0, 1], M[1, 1]
+    half_tr = 0.5 * (a + c)
+    # Guard the sqrt at exact degeneracy (b=0, a=c) for stable gradients
+    rad = jnp.sqrt(0.25 * (a - c) ** 2 + b**2 + 1e-30)
+    w = jnp.stack([half_tr - rad, half_tr + rad])
+    # Eigenvector for λ: [b, λ-a] (falls back to axis vectors when b≈0)
+    use_axis = jnp.abs(b) < 1e-12
+    v0 = jnp.where(
+        use_axis,
+        jnp.where(a <= c, jnp.asarray([1.0, 0.0], M.dtype), jnp.asarray([0.0, 1.0], M.dtype)),
+        jnp.stack([b, w[0] - a]),
+    )
+    v1 = jnp.where(
+        use_axis,
+        jnp.where(a <= c, jnp.asarray([0.0, 1.0], M.dtype), jnp.asarray([1.0, 0.0], M.dtype)),
+        jnp.stack([b, w[1] - a]),
+    )
+    v0 = v0 / jnp.linalg.norm(v0)
+    v1 = v1 / jnp.linalg.norm(v1)
+    U = jnp.stack([v0, v1], axis=1)  # columns are eigenvectors
+    return w, U
+
+
+def _whitened_eig(B, s2):
+    s = jnp.sqrt(s2)
+    Bt = B / (s[:, None] * s[None, :])
+    Bt = 0.5 * (Bt + Bt.T)
+    if Bt.shape[0] == 2:
+        ω, U = _eigh_2x2(Bt)
+    else:
+        ω, U = jnp.linalg.eigh(Bt)
+    return s, ω, U
+
+
+def _unrolled_factors(Kx, ω, d_out):
+    """D separate Cholesky factorizations, unrolled over the static batch.
+
+    NOTE: deliberately NOT a batched (D, N, N) cholesky — differentiating a
+    batched cholesky blows up TPU compile time catastrophically (measured
+    502 s vs 2.1 s at N=512 for the single-matrix grad). D is tiny and
+    static, so unrolling costs nothing and compiles like the dense path.
+    """
+    n = Kx.shape[0]
+    eye = jnp.eye(n, dtype=Kx.dtype)
+    return [jnp.linalg.cholesky(ω[i] * Kx + eye) for i in range(d_out)]
+
+
+def kron_mll(spec: GPSpec, params, xc_locs, Y, jitter=DEFAULT_JITTER):
+    """Exact MLL of the LMC model via the Kronecker factorization.
+
+    ``xc_locs``: (N, d) shared locations; ``Y``: (N, D) outputs.
+    """
+    n, d_out = Y.shape
+    Kx = _continuous_gram(spec, params, xc_locs, xc_locs)
+    B, s2 = kron_parts(spec, params, jitter)
+    s, ω, U = _whitened_eig(B, s2)
+
+    Z = (Y / s[None, :]) @ U  # (N, D)
+    Ls = _unrolled_factors(Kx, ω, d_out)
+    quad = 0.0
+    logdet = n * jnp.sum(jnp.log(s2))
+    for i in range(d_out):
+        v = jsl.solve_triangular(Ls[i], Z[:, i], lower=True)
+        quad = quad + jnp.sum(v * v)
+        logdet = logdet + 2.0 * jnp.sum(jnp.log(jnp.diag(Ls[i])))
+    return -0.5 * (quad + logdet + n * d_out * jnp.log(2.0 * jnp.pi))
+
+
+def kron_neg_logp(spec: GPSpec, uparams, xc_locs, Y, ls_alpha, ls_beta, jitter=DEFAULT_JITTER):
+    """Negative (Kronecker MLL + hyperprior) in unconstrained space."""
+    params = constrain(uparams)
+    total = kron_mll(spec, params, xc_locs, Y, jitter) + log_prior(spec, uparams, ls_alpha, ls_beta)
+    return jnp.where(jnp.isfinite(total), -total, jnp.inf)
+
+
+class KronCache(NamedTuple):
+    L: jnp.ndarray  # (D, N, N) batched chol(ωᵢKx + I)
+    alpha: jnp.ndarray  # (D, N) tall-basis representer weights
+    C: jnp.ndarray  # (D, D) = Uᵀ diag(1/s) B  (for variance back-transform)
+    B: jnp.ndarray
+    s2: jnp.ndarray
+    xc_locs: jnp.ndarray
+
+
+@partial(jax.jit, static_argnums=0)
+def kron_cache(spec: GPSpec, params, xc_locs, Y, jitter=DEFAULT_JITTER) -> KronCache:
+    Kx = _continuous_gram(spec, params, xc_locs, xc_locs)
+    B, s2 = kron_parts(spec, params, jitter)
+    s, ω, U = _whitened_eig(B, s2)
+
+    d_out = Y.shape[1]
+    Z = (Y / s[None, :]) @ U
+    Ls = _unrolled_factors(Kx, ω, d_out)
+    Wsol = jnp.stack([jsl.cho_solve((Ls[i], True), Z[:, i]) for i in range(d_out)])  # (D, N)
+    # α_{i,·} = (1/s_i) Σ_k U_{ik} w_k
+    alpha = (U @ Wsol) / s[:, None]  # (D, N)
+    C = U.T @ (B / s[:, None])  # (D, D): C_{kj} = Σ_i U_{ik} B_{ij} / s_i
+    return KronCache(L=jnp.stack(Ls), alpha=alpha, C=C, B=B, s2=s2, xc_locs=xc_locs)
+
+
+@partial(jax.jit, static_argnums=0, static_argnames=("with_noise",))
+def kron_predict_diag(spec: GPSpec, params, cache: KronCache, xc_new, with_noise=True,
+                      jitter=DEFAULT_JITTER):
+    """Posterior mean/variance for every output at new locations.
+
+    Returns mean, var of shape (D, M).
+    """
+    Kxs = _continuous_gram(spec, params, cache.xc_locs, xc_new)  # (N, M)
+    mean = cache.B @ (cache.alpha @ Kxs)  # (D, M)
+
+    # t_k[m] = Kxs[:,m]ᵀ (ω_k Kx + I)⁻¹ Kxs[:,m]; unrolled over the static D
+    # (batched triangular solves share the batched-cholesky compile blowup)
+    d_out = cache.L.shape[0]
+    t = jnp.stack(
+        [
+            jnp.sum(jsl.solve_triangular(cache.L[i], Kxs, lower=True) ** 2, axis=0)
+            for i in range(d_out)
+        ]
+    )  # (D, M)
+
+    kss = _continuous_diag(spec, params, xc_new)  # (M,)
+    var = jnp.diag(cache.B)[:, None] * kss[None, :] - (cache.C**2).T @ t  # (D, M)
+    var = jnp.maximum(var, 0.0)
+    if with_noise:
+        var = var + (cache.s2 - jitter)[:, None]
+    return mean, var
