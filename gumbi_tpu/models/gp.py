@@ -365,9 +365,54 @@ class GP(Regressor):
         # same locations and the only categorical factor is the output column.
         if multitask_kernel is not None:
             multitask_kernel = multitask_kernel.capitalize()
-            assert_in("multitask_kernel", multitask_kernel, ["Kronecker", "Hadamard"])
+            assert_in(
+                "multitask_kernel", multitask_kernel, ["Kronecker", "Hadamard", "Independent"]
+            )
         self._structure = "Hadamard"
         d_out = len(self.outputs)
+
+        if multitask_kernel == "Independent" and d_out > 1:
+            # Per-output single-task GPs: separate kernels, no learned
+            # cross-output correlation (reference ModelListGP,
+            # gumbi/regression/botorch/GP.py:253-267).
+            if self.additive or self.categorical_dims != [self.out_col]:
+                raise NotImplementedError(
+                    "Independent multitask structure supports only the plain "
+                    "multi-output case (no extra categorical dims, not additive)."
+                )
+            self._structure = "Independent"
+            self._ind_spec = GPSpec(
+                terms=(
+                    GPTerm(
+                        suffix="total",
+                        kernel=continuous_kernel,
+                        linear_idx=tuple(
+                            self.continuous_dims.index(d) for d in self.linear_dims
+                        ),
+                    ),
+                ),
+                d_cont=d_cont,
+                ard=ARD,
+                period=period_z if "Periodic" in continuous_kernel else None,
+            )
+            self._spec = self._ind_spec
+            self.model = self._spec
+            # Per-output data blocks (output-major tall layout)
+            xk_col = np.asarray(self._xk[:, 0]) if self._xk.shape[1] else None
+            self._ind_data = []
+            for j in range(d_out):
+                mask = np.asarray(xk_col == j)
+                self._ind_data.append(
+                    (
+                        self._xc[np.where(mask)[0]],
+                        jnp.zeros((int(mask.sum()), 0), dtype=jnp.int32),
+                        self._yz[np.where(mask)[0]],
+                    )
+                )
+            X_s = np.asarray(self._xc)[:, :d_cont]
+            lowers, uppers = self._prepare_ls_bounds(np.asarray(X_s, dtype=float), ARD, ls_bounds)
+            self._ls_alpha, self._ls_beta = ls_prior_params(lowers, uppers, mass=mass)
+            return self
         kron_structure_ok = (
             not self.additive
             and not sparse
@@ -453,6 +498,34 @@ class GP(Regressor):
             )(u0s)
             params = constrain(u_best)
             self._cache = None
+        elif self._structure == "Independent":
+            # One single-task fit per output; identical spec → one compile.
+            self._ind_params = []
+            self._ind_caches = []
+            neg_total = 0.0
+            aux = {}
+            for j, (xc_j, xk_j, y_j) in enumerate(self._ind_data):
+                u0s_j = initial_params(
+                    self._spec, self._ls_alpha, self._ls_beta,
+                    n_restarts=n_restarts, seed=seed + j, dtype=self._dtype,
+                )
+                p_j, neg_j, aux_j = fit_gp_map(
+                    self._spec, xc_j, xk_j, y_j, ls_alpha, ls_beta, u0s_j,
+                    maxiter=maxiter, tol=tol,
+                )
+                self._ind_params.append(p_j)
+                self._ind_caches.append(posterior_cache(self._spec, p_j, xc_j, xk_j, y_j))
+                neg_total += float(neg_j)
+                aux[f"output_{j}"] = {k: np.asarray(v) for k, v in aux_j.items()}
+            self._params = self._ind_params[0]  # representative (for dtype etc.)
+            self._neg_logp = neg_total
+            self._fit_aux = aux
+            self.MAP = {
+                out: {k: np.asarray(v) for k, v in p.items()}
+                for out, p in zip(self.outputs, self._ind_params)
+            }
+            self._cache = None
+            return self.MAP
         elif self._structure == "Kronecker":
             from ..ops.kronecker import kron_cache, kron_neg_logp
             from ..ops.optimize import multi_restart_minimize
@@ -516,11 +589,34 @@ class GP(Regressor):
             )
         elif self._structure == "Kronecker":
             mean, var = self._kron_predict_tall(xc, xk, with_noise)
+        elif self._structure == "Independent":
+            mean, var = self._independent_predict_tall(xc, xk, with_noise)
         else:
             mean, var = predict_diag(
                 self._spec, self._params, self._cache, xc, xk, with_noise=with_noise
             )
         return np.asarray(mean), np.asarray(var)
+
+    def _independent_predict_tall(self, xc, xk, with_noise):
+        """Per-output prediction for tall (per-output block) point arrays."""
+        xk_col = np.asarray(xk[:, 0])
+        means, vars_ = [], []
+        i = 0
+        while i < len(xk_col):
+            j = int(xk_col[i])
+            end = i
+            while end < len(xk_col) and xk_col[end] == j:
+                end += 1
+            xc_blk = xc[i:end]
+            xk_blk = jnp.zeros((end - i, 0), dtype=jnp.int32)
+            m, v = predict_diag(
+                self._spec, self._ind_params[j], self._ind_caches[j],
+                xc_blk, xk_blk, with_noise=with_noise,
+            )
+            means.append(m)
+            vars_.append(v)
+            i = end
+        return jnp.concatenate(means), jnp.concatenate(vars_)
 
     def _kron_predict_tall(self, xc, xk, with_noise):
         """Kronecker prediction for tall (per-output block) point arrays.

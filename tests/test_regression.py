@@ -209,3 +209,44 @@ def test_gp_predict_quickstart():
     preds = gp.predict_points(Xd)
     rel_err = np.abs(preds.μ - yd.values()) / yd.values()
     assert np.median(rel_err) < 0.2
+
+
+def test_gp_fit_independent_multitask(example_gp):
+    gp = example_gp.fit(
+        outputs=["d", "c"],
+        continuous_dims=["X", "Y"],
+        multitask_kernel="Independent",
+        MAP_kwargs=dict(n_restarts=2, maxiter=80),
+    )
+    assert gp._structure == "Independent"
+    assert set(gp.MAP.keys()) == {"d", "c"}
+    gp.prepare_grid(resolution=8)
+    pred = gp.predict_grid()
+    assert np.allclose(pred.cor, np.eye(2))
+
+
+def test_gp_fit_kronecker_matches_hadamard(example_gp):
+    gp_k = example_gp.fit(
+        outputs=["d", "c"],
+        continuous_dims=["X", "Y"],
+        multitask_kernel="Kronecker",
+        MAP_kwargs=dict(n_restarts=2, maxiter=120),
+    )
+    assert gp_k._structure == "Kronecker"
+    gp_k.prepare_grid(resolution=8)
+    y_k = gp_k.predict_grid()
+
+    gp_h = GP(gp_k.data, outputs=["d", "c"])
+    gp_h.fit(
+        outputs=["d", "c"],
+        continuous_dims=["X", "Y"],
+        multitask_kernel="Hadamard",
+        MAP_kwargs=dict(n_restarts=2, maxiter=120),
+    )
+    assert gp_h._structure == "Hadamard"
+    gp_h.prepare_grid(resolution=8)
+    y_h = gp_h.predict_grid()
+
+    # Same model, same restarts → same optimum and posterior
+    d_k, d_h = y_k.get("d"), y_h.get("d")
+    assert np.allclose(d_k.μ, d_h.μ, rtol=1e-3, atol=1e-4)
