@@ -1,0 +1,155 @@
+"""Additional regression coverage: categorical dims, grids, additive fits."""
+
+import numpy as np
+import pytest
+
+import gumbi_tpu as gmb
+from gumbi_tpu import GP, DataSet
+
+
+@pytest.fixture(scope="module")
+def cars_ds():
+    df = gmb.data.cars(n=120, seed=5)
+    return DataSet(
+        df, outputs=["mpg", "acceleration"], log_vars=["mpg", "acceleration", "horsepower"]
+    )
+
+
+def test_categorical_continuous_fit_predict(cars_ds):
+    """Coregion over a string categorical dim, per-level grid predictions
+    (reference tests/test_botorch.py:170-186)."""
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg"],
+        categorical_dims=["origin"],
+        continuous_dims=["horsepower"],
+        MAP_kwargs=dict(n_restarts=2, maxiter=100),
+    )
+    assert "W_origin" in gp.MAP
+    assert gp.MAP["W_origin"].shape[0] == 3
+
+    gp.prepare_grid(resolution=20)
+    preds = {}
+    for origin in ["usa", "japan", "europe"]:
+        y = gp.predict_grid(categorical_levels={"origin": origin}, with_noise=False)
+        assert y.shape == (20,)
+        preds[origin] = np.array(y.μ)
+    # Different levels give different surfaces
+    assert not np.allclose(preds["usa"], preds["japan"])
+
+
+def test_categorical_missing_level_raises(cars_ds):
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg"],
+        categorical_dims=["origin"],
+        continuous_dims=["horsepower"],
+        MAP_kwargs=dict(n_restarts=2, maxiter=60),
+    )
+    gp.prepare_grid(resolution=5)
+    with pytest.raises((AttributeError, AssertionError)):
+        gp.predict_grid()  # categorical level not specified
+
+
+def test_additive_fit(cars_ds):
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg"],
+        categorical_dims=["origin"],
+        continuous_dims=["horsepower"],
+        additive=True,
+        MAP_kwargs=dict(n_restarts=2, maxiter=80),
+    )
+    suffixes = [t.suffix for t in gp.model.terms]
+    assert suffixes == ["total", "origin"]
+    assert "ls_origin" in gp.MAP
+    gp.prepare_grid(resolution=10)
+    y = gp.predict_grid(categorical_levels={"origin": "usa"})
+    assert np.all(np.isfinite(y.μ))
+
+
+def test_2d_grid_and_conditional(cars_ds):
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg"],
+        continuous_dims=["horsepower", "weight"],
+        MAP_kwargs=dict(n_restarts=2, maxiter=100),
+    )
+    gp.prepare_grid(resolution={"horsepower": 12, "weight": 9})
+    y = gp.predict_grid()
+    assert y.shape == (12, 9)
+
+    hp_grid, wt_grid = gp.marginal_grids("horsepower", "weight")
+    assert hp_grid.shape == (12, 9)
+
+    wt_med = float(gp.data.wide["weight"].median())
+    grid, cond = gp.get_conditional_prediction(weight=wt_med)
+    assert cond.shape == (12,)
+    assert np.all(np.isfinite(cond.μ))
+
+
+def test_grid_at_fixed_dim(cars_ds):
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg"],
+        continuous_dims=["horsepower", "weight"],
+        MAP_kwargs=dict(n_restarts=2, maxiter=80),
+    )
+    at = gp.parray(weight=float(gp.data.wide["weight"].median()))
+    gp.prepare_grid(at=at, resolution=10)
+    y = gp.predict_grid()
+    assert y.shape == (10,)
+
+
+def test_matern_and_linear_dims(cars_ds):
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg"],
+        continuous_dims=["horsepower"],
+        linear_dims=["horsepower"],
+        continuous_kernel="Matern52",
+        MAP_kwargs=dict(n_restarts=2, maxiter=80),
+    )
+    assert "c_total" in gp.MAP and "τ_total" in gp.MAP
+    gp.prepare_grid(resolution=10)
+    y = gp.predict_grid()
+    assert np.all(np.isfinite(y.μ))
+
+
+def test_periodic_kernel_fit():
+    rng = np.random.default_rng(0)
+    import pandas as pd
+
+    x = np.linspace(0, 4, 60)
+    y = np.sin(2 * np.pi * x) + rng.normal(0, 0.1, 60) + 3.0
+    df = pd.DataFrame({"x": x, "y": y})
+    ds = DataSet(df, outputs=["y"])
+    gp = GP(ds)
+    period = gp.parray(x=1.0)
+    gp.fit(
+        outputs=["y"],
+        continuous_dims=["x"],
+        continuous_kernel="Periodic",
+        period=period,
+        MAP_kwargs=dict(n_restarts=2, maxiter=100),
+    )
+    gp.prepare_grid(resolution=30)
+    pred = gp.predict_grid(with_noise=False)
+    assert np.all(np.isfinite(pred.μ))
+
+
+def test_jax_utils_roundtrip():
+    import jax.numpy as jnp
+
+    from gumbi_tpu.utils.jax_utils import (
+        nc_normal,
+        nc_normal_logp,
+        sc_exponential,
+        sc_exponential_logp,
+    )
+
+    z = jnp.asarray([0.0, 1.0])
+    assert np.allclose(np.asarray(nc_normal(z, 2.0, 3.0)), [2.0, 5.0])
+    assert np.isfinite(float(nc_normal_logp(z)))
+    assert np.isclose(float(sc_exponential(jnp.asarray(1.0), 4.0)), 4.0)
+    assert np.isclose(float(sc_exponential_logp(jnp.asarray(2.0))), -2.0)
