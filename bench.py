@@ -34,8 +34,9 @@ from gumbi_tpu.ops.priors import constrain  # noqa: E402
 
 N_LOCS = int(os.environ.get("BENCH_N_LOCS", 5120))  # per output → 2×N_LOCS points
 N_RESTARTS = int(os.environ.get("BENCH_RESTARTS", 8))
-RESTART_CHUNK = int(os.environ.get("BENCH_RESTART_CHUNK", 4))  # vmap width per dispatch
-MAXITER = int(os.environ.get("BENCH_MAXITER", 100))
+MAXITER = int(os.environ.get("BENCH_MAXITER", 60))
+COARSE_N = int(os.environ.get("BENCH_COARSE_N", 1280))  # restart search subsample
+POLISH_ITERS = int(os.environ.get("BENCH_POLISH_ITERS", 40))
 GRID = int(os.environ.get("BENCH_GRID", 100))
 BASELINE_SECONDS = 1.0
 DTYPE = jnp.float32
@@ -81,12 +82,32 @@ def main():
     u0s = initial_params(spec, ls_alpha, ls_beta, n_restarts=N_RESTARTS, seed=0, dtype=DTYPE)
     print(f"[bench] setup {time.time()-t_setup:.1f}s, device={jax.devices()[0]}", file=sys.stderr)
 
+    # Coarse-to-fine MAP: the multi-restart basin search runs on a subsample
+    # (hyperparameters are global — a fraction of the data identifies the
+    # basin), then a single full-data L-BFGS polish refines the optimum.
+    # Restarts run sequentially on device (lax.map of a scan-based L-BFGS):
+    # vmapping the optimizer would batch the inner Cholesky, which this TPU
+    # toolchain miscompiles (worker faults at N ≳ 2.5k).
+    rng = np.random.default_rng(1)
+    sub = np.sort(rng.choice(N_LOCS, min(COARSE_N, N_LOCS), replace=False))
+    xc_sub = xc_locs[jnp.asarray(sub)]
+    Y_sub = Y[jnp.asarray(sub)]
+
+    from gumbi_tpu.ops.optimize import lbfgs_scan_minimize
+
     @jax.jit
-    def fit_chunk(u0s_chunk):
+    def coarse_fit(u0s):
+        def objective(u):
+            return kron_neg_logp(spec, u, xc_sub, Y_sub, la, lb)
+
+        return multi_restart_minimize(objective, u0s, maxiter=MAXITER, mode="sequential")
+
+    @jax.jit
+    def polish_fit(u0):
         def objective(u):
             return kron_neg_logp(spec, u, xc_locs, Y, la, lb)
 
-        return multi_restart_minimize(objective, u0s_chunk, maxiter=MAXITER, tol=1e-5)
+        return lbfgs_scan_minimize(objective, u0, maxiter=POLISH_ITERS)
 
     @jax.jit
     def predict(params):
@@ -94,18 +115,11 @@ def main():
         return kron_predict_diag(spec, params, kc, xc_grid, with_noise=True)
 
     def fit_predict():
-        # Restarts dispatched in vmapped chunks from the host: same compiled
-        # program per chunk, HBM bounded by chunk width.
-        best_u, best_f = None, np.inf
-        for c0 in range(0, N_RESTARTS, RESTART_CHUNK):
-            chunk = {k: v[c0 : c0 + RESTART_CHUNK] for k, v in u0s.items()}
-            u, f, aux = fit_chunk(chunk)
-            f = float(f)
-            if f < best_f:
-                best_f, best_u = f, u
-        params = constrain(best_u)
+        u_c, f_c, _ = coarse_fit(u0s)
+        u_best, f_best, _ = polish_fit(u_c)
+        params = constrain(u_best)
         mean, var = predict(params)
-        return params, best_f, np.asarray(mean), np.asarray(var)
+        return params, float(f_best), np.asarray(mean), np.asarray(var)
 
     t0 = time.time()
     params, neg, mean, var = fit_predict()

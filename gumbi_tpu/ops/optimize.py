@@ -70,36 +70,90 @@ def lbfgs_minimize(fun, x0, maxiter=250, tol=1e-6, memory_size=16):
     return best_x, best_f, it
 
 
-def multi_restart_minimize(fun, x0s, maxiter=250, tol=1e-6, chunk=None):
-    """vmapped L-BFGS over stacked starting points; returns the best optimum.
+def lbfgs_scan_minimize(fun, x0, maxiter=100, memory_size=16, max_backtracking=20):
+    """Fixed-iteration L-BFGS with backtracking line search (scan-based).
+
+    A TPU-robust alternative to :func:`lbfgs_minimize`: the nested
+    while(zoom-while) program of the default path triggers TPU worker faults
+    at large N on some toolchains, and compiles far slower. This variant uses
+    a rolled `lax.scan` of fixed length with an Armijo backtracking search —
+    a much smaller program with static control flow. No early exit; the best
+    iterate seen is returned.
+    """
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=max_backtracking, store_grad=True
+        ),
+    )
+    value_and_grad = optax.value_and_grad_from_state(fun)
+
+    def body(carry, _):
+        x, state, best_x, best_f = carry
+        value, grad = value_and_grad(x, state=state)
+        updates, state = opt.update(grad, state, x, value=value, grad=grad, value_fn=fun)
+        x_new = optax.apply_updates(x, updates)
+        improved = jnp.logical_and(jnp.isfinite(value), value < best_f)
+        best_x = jax.tree_util.tree_map(lambda b, c: jnp.where(improved, c, b), best_x, x)
+        best_f = jnp.where(improved, value, best_f)
+        return (x_new, state, best_x, best_f), None
+
+    f0 = fun(x0)
+    (x, _, best_x, best_f), _ = jax.lax.scan(
+        body, (x0, opt.init(x0), x0, f0), None, length=maxiter
+    )
+    f_final = fun(x)
+    take_final = jnp.logical_and(jnp.isfinite(f_final), f_final < best_f)
+    best_x = jax.tree_util.tree_map(lambda b, c: jnp.where(take_final, c, b), best_x, x)
+    best_f = jnp.where(take_final, f_final, best_f)
+    return best_x, best_f, jnp.asarray(maxiter)
+
+
+def _default_mode():
+    """TPU: sequential scan restarts — vmapping the optimizer batches the
+    inner Cholesky, which this TPU toolchain miscompiles (compile-time
+    blowups at small N, worker kernel faults at N ≳ 2.5k). CPU/GPU: vmap."""
+    return "sequential" if jax.default_backend() == "tpu" else "vmap"
+
+
+def multi_restart_minimize(fun, x0s, maxiter=250, tol=1e-6, chunk=None, mode=None):
+    """Multi-restart L-BFGS over stacked starting points; best optimum wins.
 
     ``x0s`` is a pytree whose leaves carry a leading restart axis. Restarts
     that diverge contribute +inf and are ignored in the argmin.
 
-    ``chunk`` bounds how many restarts run concurrently: restarts are split
-    into ⌈R/chunk⌉ groups evaluated sequentially (lax.map of vmap), so peak
-    memory scales with ``chunk`` × the per-restart working set instead of R×.
-    Essential for large-N fits where each restart holds several N² buffers.
+    Modes:
+    * 'vmap' — all restarts batched in one program (fast on CPU/GPU).
+      ``chunk`` bounds how many run concurrently (lax.map of vmap) so peak
+      memory scales with chunk × the per-restart working set.
+    * 'sequential' — lax.map of a scan-based L-BFGS, one restart at a time
+      on device. Required on TPU (see :func:`_default_mode`).
     """
-    runner = lambda x0: lbfgs_minimize(fun, x0, maxiter=maxiter, tol=tol)
+    mode = _default_mode() if mode is None else mode
     R = jax.tree_util.tree_leaves(x0s)[0].shape[0]
 
-    if chunk is None or chunk >= R:
-        xs, fs, its = jax.vmap(runner)(x0s)
+    if mode == "sequential":
+        runner = lambda x0: lbfgs_scan_minimize(fun, x0, maxiter=maxiter)
+        xs, fs, its = jax.lax.map(runner, x0s)
+        its = jnp.broadcast_to(its, fs.shape)
     else:
-        pad = (-R) % chunk
-        padded = jax.tree_util.tree_map(
-            lambda leaf: jnp.concatenate(
-                [leaf] + [leaf[:1]] * pad, axis=0
-            ).reshape((R + pad) // chunk, chunk, *leaf.shape[1:]),
-            x0s,
-        )
-        xs, fs, its = jax.lax.map(lambda grp: jax.vmap(runner)(grp), padded)
-        xs = jax.tree_util.tree_map(
-            lambda leaf: leaf.reshape(R + pad, *leaf.shape[2:])[:R], xs
-        )
-        fs = fs.reshape(-1)[:R]
-        its = its.reshape(-1)[:R]
+        runner = lambda x0: lbfgs_minimize(fun, x0, maxiter=maxiter, tol=tol)
+        if chunk is None or chunk >= R:
+            xs, fs, its = jax.vmap(runner)(x0s)
+        else:
+            pad = (-R) % chunk
+            padded = jax.tree_util.tree_map(
+                lambda leaf: jnp.concatenate(
+                    [leaf] + [leaf[:1]] * pad, axis=0
+                ).reshape((R + pad) // chunk, chunk, *leaf.shape[1:]),
+                x0s,
+            )
+            xs, fs, its = jax.lax.map(lambda grp: jax.vmap(runner)(grp), padded)
+            xs = jax.tree_util.tree_map(
+                lambda leaf: leaf.reshape(R + pad, *leaf.shape[2:])[:R], xs
+            )
+            fs = fs.reshape(-1)[:R]
+            its = its.reshape(-1)[:R]
 
     fs_safe = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
     best = jnp.argmin(fs_safe)
