@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gumbi_tpu.ops import CoregTerm, GPSpec, GPTerm, initial_params, ls_prior_params  # noqa: E402
 from gumbi_tpu.ops.kronecker import kron_cache, kron_neg_logp, kron_predict_diag  # noqa: E402
-from gumbi_tpu.ops.optimize import multi_restart_minimize  # noqa: E402
+from gumbi_tpu.ops.optimize import lbfgs_scan_minimize  # noqa: E402
 from gumbi_tpu.ops.priors import constrain  # noqa: E402
 
 N_LOCS = int(os.environ.get("BENCH_N_LOCS", 5120))  # per output → 2×N_LOCS points
@@ -37,6 +37,7 @@ N_RESTARTS = int(os.environ.get("BENCH_RESTARTS", 8))
 MAXITER = int(os.environ.get("BENCH_MAXITER", 60))
 COARSE_N = int(os.environ.get("BENCH_COARSE_N", 1280))  # restart search subsample
 POLISH_ITERS = int(os.environ.get("BENCH_POLISH_ITERS", 40))
+POLISH_TOP = int(os.environ.get("BENCH_POLISH_TOP", 1))  # candidates polished at full N
 GRID = int(os.environ.get("BENCH_GRID", 100))
 BASELINE_SECONDS = 1.0
 DTYPE = jnp.float32
@@ -100,14 +101,25 @@ def main():
         def objective(u):
             return kron_neg_logp(spec, u, xc_sub, Y_sub, la, lb)
 
-        return multi_restart_minimize(objective, u0s, maxiter=MAXITER, mode="sequential")
+        def runner(u0):
+            return lbfgs_scan_minimize(objective, u0, maxiter=MAXITER)
+
+        xs, fs, _ = jax.lax.map(runner, u0s)
+        # Top-k candidates by coarse objective, polished at full N
+        order = jnp.argsort(jnp.where(jnp.isfinite(fs), fs, jnp.inf))[:POLISH_TOP]
+        return jax.tree_util.tree_map(lambda leaf: leaf[order], xs), fs
 
     @jax.jit
-    def polish_fit(u0):
+    def polish_fit(u_cands):
         def objective(u):
             return kron_neg_logp(spec, u, xc_locs, Y, la, lb)
 
-        return lbfgs_scan_minimize(objective, u0, maxiter=POLISH_ITERS)
+        def runner(u0):
+            return lbfgs_scan_minimize(objective, u0, maxiter=POLISH_ITERS)
+
+        xs, fs, _ = jax.lax.map(runner, u_cands)
+        best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
+        return jax.tree_util.tree_map(lambda leaf: leaf[best], xs), fs[best]
 
     @jax.jit
     def predict(params):
@@ -115,8 +127,8 @@ def main():
         return kron_predict_diag(spec, params, kc, xc_grid, with_noise=True)
 
     def fit_predict():
-        u_c, f_c, _ = coarse_fit(u0s)
-        u_best, f_best, _ = polish_fit(u_c)
+        u_cands, _ = coarse_fit(u0s)
+        u_best, f_best = polish_fit(u_cands)
         params = constrain(u_best)
         mean, var = predict(params)
         return params, float(f_best), np.asarray(mean), np.asarray(var)

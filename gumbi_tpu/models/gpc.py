@@ -117,6 +117,54 @@ class GPC(GP):
         self._cache = None  # classifier uses the Laplace predictor directly
         return self.MAP
 
+    def sample(
+        self,
+        draws=500,
+        tune=500,
+        chains=2,
+        seed=None,
+        n_leapfrog=32,
+        target_accept=0.8,
+        **kwargs,
+    ):
+        """HMC over hyperparameters under the Laplace-approximate marginal.
+
+        The reference ran joint NUTS over hyperparameters *and* thousands of
+        latent values (extras.py:36-43); marginalizing the latents with the
+        Laplace approximation gives a low-dimensional, well-conditioned target
+        the sampler traverses in one jitted program.
+        """
+        import jax
+
+        from ..ops.hmc import hmc_sample
+        from ..ops.priors import constrain, unconstrain
+
+        assert self._spec is not None, "Call build_model first"
+        seed = self.seed if seed is None else seed
+        ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
+        ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
+
+        def logp(uparams):
+            return -laplace_neg_logp(
+                self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta
+            )
+
+        if self._params is not None:
+            q0 = unconstrain(self._params)
+        else:
+            u0s = initial_params(self._spec, self._ls_alpha, self._ls_beta, 1, seed, dtype=self._dtype)
+            q0 = {k: v[0] for k, v in u0s.items()}
+
+        usamples, stats = hmc_sample(
+            logp, q0, jax.random.PRNGKey(seed),
+            draws=draws, tune=tune, chains=chains,
+            n_leapfrog=n_leapfrog, target_accept=target_accept,
+        )
+        natural = constrain(usamples)
+        self.trace = {k: np.asarray(v) for k, v in natural.items()}
+        self.trace["_stats"] = {k: np.asarray(v) for k, v in stats.items()}
+        return self.trace
+
     def predict(self, points_array, with_noise=True, additive_level="total", **kwargs):
         """Latent-function (mean, variance) at a tall dims-ordered points array."""
         if additive_level != "total":

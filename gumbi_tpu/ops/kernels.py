@@ -17,10 +17,30 @@ float matrix, so coregion lookups are exact gathers instead of float casts.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
+
+# Opt-in Pallas fast path for RBF Gram assembly (fused tiles, split-bf16
+# MXU matmul). Enabled via GUMBI_TPU_PALLAS=1 or enable_pallas(); only takes
+# effect on a TPU backend.
+_PALLAS_ENABLED = os.environ.get("GUMBI_TPU_PALLAS", "0") == "1"
+
+
+def enable_pallas(on: bool = True):
+    """Toggle the Pallas RBF Gram fast path (TPU only)."""
+    global _PALLAS_ENABLED
+    _PALLAS_ENABLED = on
+
+
+def _pallas_active() -> bool:
+    if not _PALLAS_ENABLED:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 __all__ = [
     "CoregTerm",
@@ -179,16 +199,19 @@ def _term_cont(spec: GPSpec, term: GPTerm, params, xc1, xc2):
     kernel = term.kernel
 
     if kernel == "Periodic":
-        K = _periodic(xc1, xc2, ls, spec.period)
+        K = η**2 * _periodic(xc1, xc2, ls, spec.period)
     elif kernel.endswith("+Periodic"):
         base = kernel[: -len("+Periodic")]
         u1 = _warp_periodic(xc1, spec.period)
         u2 = _warp_periodic(xc2, spec.period)
         ls2 = jnp.concatenate([ls, ls])
-        K = _stationary(base, _scaled_sqdist(u1, u2, ls2))
+        K = η**2 * _stationary(base, _scaled_sqdist(u1, u2, ls2))
+    elif kernel in ("ExpQuad", "RBF") and _pallas_active():
+        from .pallas_kernels import rbf_gram
+
+        K = rbf_gram(xc1, xc2, ls, η)  # η² folded into the fused kernel
     else:
-        K = _stationary(kernel, _scaled_sqdist(xc1, xc2, ls))
-    K = η**2 * K
+        K = η**2 * _stationary(kernel, _scaled_sqdist(xc1, xc2, ls))
 
     if term.linear_idx:
         c = params[f"c_{s}"]

@@ -145,3 +145,39 @@ def test_fit_records_phases(fitted):
 
     totals = timings.totals()
     assert "find_MAP" in totals and totals["find_MAP"] > 0
+
+
+def test_map_is_stationary_point(fitted):
+    """The MAP must be a genuine mode of the joint posterior (gradient ≈ 0).
+
+    Offline parity proxy: pm.find_MAP optimizes the same joint density with
+    the same priors/transforms, so agreeing on stationarity (and the earlier
+    golden-value transform tests) is the strongest check available without
+    PyMC installed.
+    """
+    import jax
+
+    from gumbi_tpu.ops.mll import map_neg_logp
+    from gumbi_tpu.ops.priors import unconstrain
+
+    u = unconstrain(fitted._params)
+    grads = jax.grad(
+        lambda u: map_neg_logp(
+            fitted._spec, u, fitted._xc, fitted._xk, fitted._yz,
+            jnp.asarray(fitted._ls_alpha), jnp.asarray(fitted._ls_beta),
+        )
+    )(u)
+    gnorm = float(
+        np.sqrt(sum(np.sum(np.asarray(g) ** 2) for g in grads.values()))
+    )
+    assert gnorm < 1e-3, f"MAP gradient norm {gnorm}"
+
+
+def test_graft_entry_smoke():
+    import __graft_entry__ as ge
+    import jax
+
+    fn, args = ge.entry()
+    mean, var = jax.jit(fn)(*args)
+    assert mean.shape == (32,)
+    assert np.all(np.asarray(var) >= 0)
