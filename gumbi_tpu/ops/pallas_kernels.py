@@ -78,7 +78,7 @@ def _rbf_gram_fwd_impl(x1, x2, ls, eta):
 
     n, d = x1.shape
     m = x2.shape[0]
-    bm, bn = 256, 256
+    bm, bn = (512, 512) if max(n, m) >= 4096 else (256, 256)
     n_pad = _ceil_to(max(n, 8), bm)
     m_pad = _ceil_to(max(m, 8), bn)
     d_pad = _ceil_to(d, 128)

@@ -250,3 +250,46 @@ def test_gp_fit_kronecker_matches_hadamard(example_gp):
     # Same model, same restarts → same optimum and posterior
     d_k, d_h = y_k.get("d"), y_h.get("d")
     assert np.allclose(d_k.μ, d_h.μ, rtol=1e-3, atol=1e-4)
+
+
+def test_parity_import_paths():
+    from gumbi_tpu.regression import GP as GP2, GPC, Regressor
+    from gumbi_tpu.utils.gp_utils import get_ls_prior, parse_ls_limits
+
+    assert GP2 is GP
+    X = np.linspace(0, 1, 12)[:, None]
+    lo, hi = parse_ls_limits(X, ARD=True)
+    assert len(lo) == 1 and 0.01 <= lo[0] < hi[0]
+    p = get_ls_prior(X, ARD=True)
+    assert len(p["alpha"]) == 1 and p["alpha"][0] > 0
+
+
+# Combinatorial fit matrix mirroring the reference slow suite
+# (reference tests/test_regression.py:125-182)
+@pytest.fixture(
+    params=[
+        {"outputs": ["d", "c"], "continuous_dims": ["X", "Y"]},
+        {"continuous_dims": ["X", "Y"], "categorical_dims": "Code"},
+        {"continuous_dims": ["X", "Y", "Name"]},
+        {"continuous_dims": ["X", "Y", "lg10_Z"]},
+        {
+            "continuous_dims": ["X", "Y", "Name"],
+            "continuous_levels": {"Name": ["intense-opportunity"]},
+        },
+    ]
+)
+def fit_inputs(request):
+    return request.param
+
+
+@pytest.fixture(params=[False, True])
+def additive(request):
+    return request.param
+
+
+@pytest.mark.slow
+def test_gp_fit_matrix(example_gp, fit_inputs, additive):
+    gp = example_gp.fit(
+        **fit_inputs, additive=additive, MAP_kwargs=dict(n_restarts=2, maxiter=60)
+    )
+    assert isinstance(gp.MAP, dict)
