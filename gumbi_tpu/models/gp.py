@@ -831,6 +831,9 @@ class GP(Regressor):
         )
 
         assert self._params is not None, "Model must be fit before proposing"
+        # Materialize the dense cache eagerly: building it lazily inside the
+        # traced acquisition closure would leak tracers onto self._cache.
+        self._ensure_dense_cache()
         seed = self.seed if seed is None else seed
         d = len(self.continuous_dims)
         d_out = len(self.outputs)

@@ -177,6 +177,48 @@ class GPC(GP):
         self._last_prob = np.asarray(prob)
         return np.asarray(mean), np.asarray(var)
 
+    def draw_point_samples(
+        self, points, n_samples=1, output=None, with_noise=False, seed=None, source=None
+    ):
+        """Posterior probability draws at supplied points.
+
+        Latent-function draws from the Laplace posterior pushed through the
+        logistic link. The sampled variable registers as a logit-normal for
+        transform-aware downstream use (reference extras.py:57).
+        """
+        import jax
+        from scipy.special import expit
+
+        from ..ops.laplace import laplace_draw_latent
+
+        output = self._parse_prediction_output(output)
+        points_array, _, _ = self._prepare_points_for_prediction(points, output=output)
+        xc, xk = self._split_X(np.asarray(points_array))
+        key = jax.random.PRNGKey(self.seed if seed is None else seed)
+        f_draws = laplace_draw_latent(
+            self._spec, self._params, self._xc, self._xk, self._yz, xc, xk, key,
+            n_samples=n_samples,
+        )
+        p_draws = expit(np.asarray(f_draws))
+        name = output[0]
+        if name not in self.stdzr.logit_vars:
+            self.stdzr.logit_vars = self.stdzr.logit_vars + [name]
+        self.predictions = self.parray(**{name: p_draws})
+        self.predictions_X = points
+        return self.predictions
+
+    def draw_grid_samples(self, n_samples=1, output=None, categorical_levels=None, **kwargs):
+        """Posterior probability draws over the prepared grid."""
+        if self.grid_points is None:
+            raise ValueError("Grid must first be specified with `prepare_grid`")
+        points = self.grid_points
+        if self.categorical_dims:
+            points = self.append_categorical_points(points, categorical_levels=categorical_levels)
+        samples = self.draw_point_samples(points, n_samples=n_samples, output=output, **kwargs)
+        self.predictions = samples.reshape(-1, *self.grid_parray.shape)
+        self.predictions_X = self.predictions_X.reshape(self.grid_parray.shape)
+        return self.predictions
+
     def predict_proba(self, points, output=None):
         """Class probability P(y=1) at a 1-D parray of coordinates."""
         output = self._parse_prediction_output(output)

@@ -98,3 +98,39 @@ def laplace_predict(spec: GPSpec, params, xc, xk, y, xc_new, xk_new, jitter=DEFA
 
     prob = jax.nn.sigmoid(mean / jnp.sqrt(1.0 + jnp.pi * var / 8.0))
     return mean, var, prob
+
+
+@partial(jax.jit, static_argnums=0, static_argnames=("n_samples", "n_iter"))
+def laplace_draw_latent(
+    spec: GPSpec,
+    params,
+    xc,
+    xk,
+    y,
+    xc_new,
+    xk_new,
+    key,
+    n_samples=1,
+    jitter=DEFAULT_JITTER,
+    n_iter=30,
+):
+    """Joint draws of the latent function at new points under the Laplace
+    posterior (replaces the reference classifier's gp.conditional +
+    sample_posterior_predictive path, extras.py:45-66)."""
+    K = gram(spec, params, xc, xk, xc, xk)
+    K = K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)
+    f, a, L, sqrtW = laplace_mode(K, y, n_iter)
+
+    Ks = gram(spec, params, xc_new, xk_new, xc, xk)  # (M, N)
+    π = jax.nn.sigmoid(f)
+    mean = Ks @ (y - π)
+
+    from .kernels import gram_diag
+
+    V = jsl.solve_triangular(L, (sqrtW[:, None] * Ks.T), lower=True)  # (N, M)
+    Kss = gram(spec, params, xc_new, xk_new, xc_new, xk_new)
+    cov = Kss - V.T @ V
+    cov = cov + jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    Lss = jnp.linalg.cholesky(cov)
+    eps = jax.random.normal(key, (n_samples, mean.shape[0]), dtype=mean.dtype)
+    return mean[None, :] + eps @ Lss.T
