@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gumbi_tpu.ops import CoregTerm, GPSpec, GPTerm, initial_params, ls_prior_params  # noqa: E402
 from gumbi_tpu.ops.kronecker import kron_cache, kron_neg_logp, kron_predict_diag  # noqa: E402
-from gumbi_tpu.ops.optimize import lbfgs_scan_minimize  # noqa: E402
+from gumbi_tpu.ops.optimize import lbfgs_backtracking_minimize  # noqa: E402
 from gumbi_tpu.ops.priors import constrain  # noqa: E402
 
 N_LOCS = int(os.environ.get("BENCH_N_LOCS", 5120))  # per output → 2×N_LOCS points
@@ -94,15 +94,13 @@ def main():
     xc_sub = xc_locs[jnp.asarray(sub)]
     Y_sub = Y[jnp.asarray(sub)]
 
-    from gumbi_tpu.ops.optimize import lbfgs_scan_minimize
-
     @jax.jit
     def coarse_fit(u0s):
         def objective(u):
             return kron_neg_logp(spec, u, xc_sub, Y_sub, la, lb)
 
         def runner(u0):
-            return lbfgs_scan_minimize(objective, u0, maxiter=MAXITER)
+            return lbfgs_backtracking_minimize(objective, u0, maxiter=MAXITER)
 
         xs, fs, _ = jax.lax.map(runner, u0s)
         # Top-k candidates by coarse objective, polished at full N
@@ -115,7 +113,7 @@ def main():
             return kron_neg_logp(spec, u, xc_locs, Y, la, lb)
 
         def runner(u0):
-            return lbfgs_scan_minimize(objective, u0, maxiter=POLISH_ITERS)
+            return lbfgs_backtracking_minimize(objective, u0, maxiter=POLISH_ITERS)
 
         xs, fs, _ = jax.lax.map(runner, u_cands)
         best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))

@@ -70,6 +70,50 @@ def lbfgs_minimize(fun, x0, maxiter=250, tol=1e-6, memory_size=16):
     return best_x, best_f, it
 
 
+def lbfgs_backtracking_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16, max_backtracking=20):
+    """While-loop L-BFGS with backtracking line search and early stopping.
+
+    The TPU workhorse: unlike the zoom-linesearch path it compiles quickly and
+    runs safely inside lax.map, and unlike the fixed-length scan it exits as
+    soon as the objective stops moving (relative decrease < ftol — a
+    realistic f32 criterion; gradient-norm tolerances stall at f32 precision).
+    """
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=max_backtracking, store_grad=True
+        ),
+    )
+    value_and_grad = optax.value_and_grad_from_state(fun)
+
+    def cond(carry):
+        _, _, it, done, _, _, _ = carry
+        return jnp.logical_and(~done, it < maxiter)
+
+    def body(carry):
+        x, state, it, _, best_x, best_f, v_prev = carry
+        value, grad = value_and_grad(x, state=state)
+        updates, state = opt.update(grad, state, x, value=value, grad=grad, value_fn=fun)
+        x_new = optax.apply_updates(x, updates)
+        finite = jnp.isfinite(value)
+        improved = jnp.logical_and(finite, value < best_f)
+        best_x = jax.tree_util.tree_map(lambda b, c: jnp.where(improved, c, b), best_x, x)
+        best_f = jnp.where(improved, value, best_f)
+        done = jnp.logical_or(
+            ~finite, jnp.abs(v_prev - value) < ftol * (1.0 + jnp.abs(value))
+        )
+        return x_new, state, it + 1, done, best_x, best_f, value
+
+    f0 = fun(x0)
+    init = (x0, opt.init(x0), jnp.asarray(0), jnp.asarray(False), x0, f0, jnp.inf)
+    x, _, it, _, best_x, best_f, _ = jax.lax.while_loop(cond, body, init)
+    f_final = fun(x)
+    take_final = jnp.logical_and(jnp.isfinite(f_final), f_final < best_f)
+    best_x = jax.tree_util.tree_map(lambda b, c: jnp.where(take_final, c, b), best_x, x)
+    best_f = jnp.where(take_final, f_final, best_f)
+    return best_x, best_f, it
+
+
 def lbfgs_scan_minimize(fun, x0, maxiter=100, memory_size=16, max_backtracking=20):
     """Fixed-iteration L-BFGS with backtracking line search (scan-based).
 
@@ -133,9 +177,8 @@ def multi_restart_minimize(fun, x0s, maxiter=250, tol=1e-6, chunk=None, mode=Non
     R = jax.tree_util.tree_leaves(x0s)[0].shape[0]
 
     if mode == "sequential":
-        runner = lambda x0: lbfgs_scan_minimize(fun, x0, maxiter=maxiter)
+        runner = lambda x0: lbfgs_backtracking_minimize(fun, x0, maxiter=maxiter)
         xs, fs, its = jax.lax.map(runner, x0s)
-        its = jnp.broadcast_to(its, fs.shape)
     else:
         runner = lambda x0: lbfgs_minimize(fun, x0, maxiter=maxiter, tol=tol)
         if chunk is None or chunk >= R:
