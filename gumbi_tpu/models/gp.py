@@ -84,6 +84,7 @@ class GP(Regressor):
         self._cache = None
         self._cat_maps = {}
         self._structure = "Hadamard"
+        self._mask = None
         self._dtype = jnp.float64
 
         self.model_specs = {
@@ -120,6 +121,7 @@ class GP(Regressor):
         ls_bounds=None,
         mass=0.98,
         multitask_kernel=None,
+        bucket=None,
         spec_kwargs=None,
         build_kwargs=None,
         MAP_kwargs=None,
@@ -156,6 +158,7 @@ class GP(Regressor):
                 ls_bounds=ls_bounds,
                 mass=mass,
                 multitask_kernel=multitask_kernel,
+                bucket=bucket,
                 **(build_kwargs or {}),
             )
         with phase("find_MAP"):
@@ -242,12 +245,18 @@ class GP(Regressor):
         ls_bounds=None,
         mass=0.98,
         multitask_kernel=None,
+        bucket=None,
     ):
         r"""Compile the covariance structure and priors for the current spec.
 
         Model (reference GP.py:61-94): y ~ N(μ, σ); μ ~ GP(K);
         K = (K_cont + K_lin)·K_coreg_outputs·∏ K_coreg_cat, with an additive
         per-category variant when ``additive=True``.
+
+        ``bucket``: pad the training set to the next multiple of this size
+        with masked rows (exact MLL; identity rows contribute zero), so
+        growing datasets reuse the compiled fit program instead of
+        recompiling every lab-loop round. Forces the Hadamard structure.
 
         ``multitask_kernel``: None (auto), 'Kronecker', or 'Hadamard'.
         When every output is observed at identical locations the Kronecker
@@ -416,6 +425,7 @@ class GP(Regressor):
         kron_structure_ok = (
             not self.additive
             and not sparse
+            and bucket is None
             and d_out > 1
             and self.categorical_dims == [self.out_col]
             and multitask_kernel != "Hadamard"
@@ -442,7 +452,26 @@ class GP(Regressor):
         if multitask_kernel == "Kronecker" and self._structure != "Kronecker":
             raise ValueError(
                 "Kronecker structure requested but outputs are not all observed "
-                "at identical locations (or the model has extra categorical dims)."
+                "at identical locations (or the model has extra categorical dims, "
+                "or bucketing is enabled)."
+            )
+
+        # Bucket padding: static shapes across growing datasets (exact MLL
+        # via masked identity rows; see ops/mll.cholesky_factor).
+        self._mask = None
+        if bucket:
+            n = int(self._xc.shape[0])
+            n_pad = (-n) % int(bucket)
+            if n_pad:
+                self._xc = jnp.concatenate(
+                    [self._xc, jnp.zeros((n_pad, self._xc.shape[1]), dtype=self._dtype)]
+                )
+                self._xk = jnp.concatenate(
+                    [self._xk, jnp.zeros((n_pad, self._xk.shape[1]), dtype=jnp.int32)]
+                )
+                self._yz = jnp.concatenate([self._yz, jnp.zeros(n_pad, dtype=self._dtype)])
+            self._mask = jnp.concatenate(
+                [jnp.ones(n, dtype=self._dtype), jnp.zeros(n_pad, dtype=self._dtype)]
             )
 
         # Lengthscale priors from pairwise distances of the continuous block
@@ -553,20 +582,25 @@ class GP(Regressor):
                 u0s,
                 maxiter=maxiter,
                 tol=tol,
+                mask=self._mask,
             )
         self._params = params
         self._neg_logp = float(neg_logp)
         self._fit_aux = {k: np.asarray(v) for k, v in aux.items()}
         self.MAP = {k: np.asarray(v) for k, v in params.items()}
         if not self.sparse and self._structure != "Kronecker":
-            self._cache = posterior_cache(self._spec, self._params, self._xc, self._xk, self._yz)
+            self._cache = posterior_cache(
+                self._spec, self._params, self._xc, self._xk, self._yz, mask=self._mask
+            )
         return self.MAP
 
     def _ensure_dense_cache(self):
         """Dense tall-basis factorization, built lazily when a path (BO,
         joint sampling) needs full covariances the Kronecker cache lacks."""
         if self._cache is None:
-            self._cache = posterior_cache(self._spec, self._params, self._xc, self._xk, self._yz)
+            self._cache = posterior_cache(
+                self._spec, self._params, self._xc, self._xk, self._yz, mask=self._mask
+            )
         return self._cache
 
     ################################################################################

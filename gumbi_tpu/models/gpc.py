@@ -45,6 +45,7 @@ class GPC(GP):
         ls_bounds=None,
         mass=0.98,
         multitask_kernel=None,
+        bucket=None,
     ):
         """Build the latent-GP covariance structure for classification."""
         if heteroskedastic_inputs:

@@ -29,20 +29,31 @@ __all__ = ["mll", "map_neg_logp", "cholesky_factor", "DEFAULT_JITTER"]
 DEFAULT_JITTER = 1e-6
 
 
-def cholesky_factor(spec: GPSpec, params, xc, xk, y_dtype, jitter=DEFAULT_JITTER):
-    """Cholesky of K(X, X) + noise·I (+ jitter)."""
+def cholesky_factor(spec: GPSpec, params, xc, xk, y_dtype, jitter=DEFAULT_JITTER, mask=None):
+    """Cholesky of K(X, X) + noise·I (+ jitter).
+
+    ``mask`` (0/1 per row, optional) supports bucket-padded data: masked-out
+    rows become unit-diagonal identity rows, contributing exactly zero to the
+    quadratic form and log-determinant, so a padded problem's MLL equals the
+    unpadded one. Bucketing keeps array shapes static as datasets grow
+    (lab-loop refits reuse the compiled program instead of recompiling).
+    """
     K = gram(spec, params, xc, xk, xc, xk)
     d = noise_diag(spec, params, xk, dtype=K.dtype) + jitter
+    if mask is not None:
+        K = K * (mask[:, None] * mask[None, :])
+        d = mask * d + (1.0 - mask)
     K = K + jnp.diag(d)
     return jnp.linalg.cholesky(K)
 
 
-@partial(jax.jit, static_argnums=0)
-def mll(spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER):
-    """Gaussian marginal log-likelihood log p(y | X, θ)."""
-    L = cholesky_factor(spec, params, xc, xk, y.dtype, jitter)
+def _gaussian_logp(L, y, mask=None):
+    if mask is not None:
+        y = y * mask
+        n = jnp.sum(mask)
+    else:
+        n = y.shape[0]
     α = jsl.solve_triangular(L, y, lower=True)
-    n = y.shape[0]
     return (
         -0.5 * jnp.sum(α**2)
         - jnp.sum(jnp.log(jnp.diag(L)))
@@ -50,20 +61,23 @@ def mll(spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER):
     )
 
 
-def map_neg_logp(spec: GPSpec, uparams, xc, xk, y, ls_alpha, ls_beta, jitter=DEFAULT_JITTER):
+@partial(jax.jit, static_argnums=0)
+def mll(spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER, mask=None):
+    """Gaussian marginal log-likelihood log p(y | X, θ)."""
+    L = cholesky_factor(spec, params, xc, xk, y.dtype, jitter, mask)
+    return _gaussian_logp(L, y, mask)
+
+
+def map_neg_logp(
+    spec: GPSpec, uparams, xc, xk, y, ls_alpha, ls_beta, jitter=DEFAULT_JITTER, mask=None
+):
     """Negative joint log-density −[log p(y|θ) + log p(θ)] in unconstrained space.
 
     NaN/Inf Cholesky failures surface as +inf so line searches back off
     rather than stepping into invalid regions.
     """
     params = constrain(uparams)
-    L = cholesky_factor(spec, params, xc, xk, y.dtype, jitter)
-    α = jsl.solve_triangular(L, y, lower=True)
-    n = y.shape[0]
-    data_logp = (
-        -0.5 * jnp.sum(α**2)
-        - jnp.sum(jnp.log(jnp.diag(L)))
-        - 0.5 * n * jnp.log(2.0 * jnp.pi)
-    )
+    L = cholesky_factor(spec, params, xc, xk, y.dtype, jitter, mask)
+    data_logp = _gaussian_logp(L, y, mask)
     total = data_logp + log_prior(spec, uparams, ls_alpha, ls_beta)
     return jnp.where(jnp.isfinite(total), -total, jnp.inf)

@@ -217,17 +217,20 @@ def fit_gp_map(
     tol=1e-6,
     jitter=DEFAULT_JITTER,
     restart_chunk=None,
+    mask=None,
 ):
-    """MAP-fit the GP hyperparameters by vmapped multi-restart L-BFGS.
+    """MAP-fit the GP hyperparameters by multi-restart L-BFGS on device.
 
     Parameters are optimized in unconstrained space against
     :func:`gumbi_tpu.ops.mll.map_neg_logp`. Returns (params_natural,
     neg_logp_best, aux) where aux carries per-restart diagnostics.
-    ``restart_chunk`` bounds concurrent restarts (memory control at large N).
+    ``restart_chunk`` bounds concurrent restarts (memory control at large N);
+    ``mask`` marks valid rows of bucket-padded data (shapes stay static as
+    datasets grow, avoiding recompiles in lab loops).
     """
 
     def objective(uparams):
-        return map_neg_logp(spec, uparams, xc, xk, y, ls_alpha, ls_beta, jitter)
+        return map_neg_logp(spec, uparams, xc, xk, y, ls_alpha, ls_beta, jitter, mask)
 
     u_best, f_best, aux = multi_restart_minimize(
         objective, u0s, maxiter=maxiter, tol=tol, chunk=restart_chunk

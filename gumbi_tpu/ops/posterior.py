@@ -28,19 +28,25 @@ class PosteriorCache(NamedTuple):
     alpha: jnp.ndarray  # (Kxx + noise)⁻¹ y
     xc: jnp.ndarray
     xk: jnp.ndarray
+    mask: jnp.ndarray = None  # 0/1 row validity for bucket-padded data
 
 
 @partial(jax.jit, static_argnums=0)
-def posterior_cache(spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER) -> PosteriorCache:
-    L = cholesky_factor(spec, params, xc, xk, y.dtype, jitter)
-    alpha = jsl.cho_solve((L, True), y)
-    return PosteriorCache(L=L, alpha=alpha, xc=xc, xk=xk)
+def posterior_cache(
+    spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER, mask=None
+) -> PosteriorCache:
+    L = cholesky_factor(spec, params, xc, xk, y.dtype, jitter, mask)
+    y_eff = y if mask is None else y * mask
+    alpha = jsl.cho_solve((L, True), y_eff)
+    return PosteriorCache(L=L, alpha=alpha, xc=xc, xk=xk, mask=mask)
 
 
 @partial(jax.jit, static_argnums=(0,), static_argnames=("with_noise",))
 def predict_diag(spec: GPSpec, params, cache: PosteriorCache, xc_new, xk_new, with_noise=True):
     """Posterior mean and per-point variance at new points."""
     Ks = gram(spec, params, xc_new, xk_new, cache.xc, cache.xk)  # (M, N)
+    if cache.mask is not None:
+        Ks = Ks * cache.mask[None, :]
     mean = Ks @ cache.alpha
     V = jsl.solve_triangular(cache.L, Ks.T, lower=True)  # (N, M)
     var = gram_diag(spec, params, xc_new, xk_new) - jnp.sum(V * V, axis=0)
@@ -54,6 +60,8 @@ def predict_diag(spec: GPSpec, params, cache: PosteriorCache, xc_new, xk_new, wi
 def predict_cov(spec: GPSpec, params, cache: PosteriorCache, xc_new, xk_new, with_noise=False):
     """Posterior mean and full covariance at new points (for joint sampling)."""
     Ks = gram(spec, params, xc_new, xk_new, cache.xc, cache.xk)
+    if cache.mask is not None:
+        Ks = Ks * cache.mask[None, :]
     mean = Ks @ cache.alpha
     V = jsl.solve_triangular(cache.L, Ks.T, lower=True)
     Kss = gram(spec, params, xc_new, xk_new, xc_new, xk_new)

@@ -153,3 +153,22 @@ def test_jax_utils_roundtrip():
     assert np.isfinite(float(nc_normal_logp(z)))
     assert np.isclose(float(sc_exponential(jnp.asarray(1.0), 4.0)), 4.0)
     assert np.isclose(float(sc_exponential_logp(jnp.asarray(2.0))), -2.0)
+
+
+def test_bucket_padding_exact(cars_ds):
+    """Bucket-padded fits must reproduce the unpadded MLL and predictions
+    exactly (masked identity rows contribute zero)."""
+    gp1 = GP(cars_ds)
+    gp1.fit(outputs=["mpg"], continuous_dims=["horsepower"],
+            MAP_kwargs=dict(n_restarts=2, maxiter=100))
+    gp2 = GP(cars_ds)
+    gp2.fit(outputs=["mpg"], continuous_dims=["horsepower"], bucket=128,
+            MAP_kwargs=dict(n_restarts=2, maxiter=100))
+    assert gp2._xc.shape[0] % 128 == 0
+    assert np.isclose(gp1._neg_logp, gp2._neg_logp, rtol=1e-10)
+    gp1.prepare_grid(resolution=9)
+    gp2.prepare_grid(resolution=9)
+    y1 = gp1.predict_grid()
+    y2 = gp2.predict_grid()
+    assert np.allclose(y1.μ, y2.μ, rtol=1e-8)
+    assert np.allclose(y1.σ2, y2.σ2, rtol=1e-8)
