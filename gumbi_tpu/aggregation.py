@@ -232,7 +232,10 @@ class Standardizer(dict):
 
     def _stdz_value(self, name, x):
         μ, σ2 = self._moments(name)
-        return np.divide(self.transform(name, x) - μ, np.sqrt(σ2))
+        x_t = self.transform(name, x)
+        if isinstance(x_t, (list, tuple)):  # identity transform leaves lists as-is
+            x_t = np.asarray(x_t)
+        return np.divide(x_t - μ, np.sqrt(σ2))
 
     def _unstdz_value(self, name, z):
         μ, σ2 = self._moments(name)

@@ -1103,6 +1103,8 @@ class GP(Regressor):
         if self._structure == "Kronecker":
             arrays["xc_locs"] = np.asarray(self._xc_locs)
             arrays["Y"] = np.asarray(self._Y)
+        if self._mask is not None:
+            arrays["mask"] = np.asarray(self._mask)
         np.savez(path, __meta__=json.dumps(meta, default=str), **arrays)
 
     @classmethod
@@ -1168,6 +1170,8 @@ class GP(Regressor):
             if k.startswith("param::")
         }
         gp._structure = meta.get("structure", "Hadamard")
+        if "mask" in arrays:
+            gp._mask = jnp.asarray(arrays["mask"], dtype=gp._dtype)
         if gp._structure == "Kronecker":
             gp._xc_locs = jnp.asarray(arrays["xc_locs"], dtype=gp._dtype)
             gp._Y = jnp.asarray(arrays["Y"], dtype=gp._dtype)
@@ -1179,7 +1183,9 @@ class GP(Regressor):
 
                 gp._kron_cache = kron_cache(gp._spec, gp._params, gp._xc_locs, gp._Y)
             elif not gp.sparse:
-                gp._cache = posterior_cache(gp._spec, gp._params, gp._xc, gp._xk, gp._yz)
+                gp._cache = posterior_cache(
+                    gp._spec, gp._params, gp._xc, gp._xk, gp._yz, mask=gp._mask
+                )
         return gp
 
     @staticmethod
