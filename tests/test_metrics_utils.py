@@ -47,16 +47,17 @@ def test_uarray_information_metrics():
 
 def test_make_deltas_parray():
     stdzr = Standardizer(x={"μ": 0.0, "σ2": 4.0}, r={"μ": 0.0, "σ2": 1.0}, log_vars=["r"])
-    # Natural-space deltas: standardized difference of [v, 2v]
+    # Natural-space delta of 1.0: stored natural, standardized view = Δ/σ_x = 0.5
     pa = make_deltas_parray(stdzr=stdzr, scale="natural", x=[1.0, None])
     vals = pa["x"].values()
     assert vals.shape == (2, 1)
-    assert np.isclose(vals[0, 0], 0.5)  # (2-1)/σ_x with σ_x=2
+    assert np.isclose(vals[0, 0], 1.0)
     assert np.isnan(vals[1, 0])
+    assert np.isclose(pa["x"].z.values()[0, 0], 0.5)
 
-    # Standardized scale round-trips to the same deltas for identity vars
+    # Standardized-scale input round-trips through natural space
     pa2 = make_deltas_parray(stdzr=stdzr, scale="standardized", x=[0.5])
-    assert np.isclose(pa2["x"].values()[0, 0], 0.5)
+    assert np.isclose(pa2["x"].z.values()[0, 0], 0.5)
 
 
 def test_isotropic_vars_share_moments():
