@@ -85,7 +85,7 @@ class GP(Regressor):
         self._cat_maps = {}
         self._structure = "Hadamard"
         self._mask = None
-        self._dtype = jnp.float64
+        self._dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
         self.model_specs = {
             "seed": self.seed,
