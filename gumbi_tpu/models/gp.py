@@ -855,8 +855,6 @@ class GP(Regressor):
         if q is None:
             return super().propose(target, acquisition=acquisition)
 
-        import jax.random as jrandom
-
         from ..ops.acquisition import (
             optimize_acqf,
             qlog_nehvi_2d,

@@ -19,7 +19,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..ops import initial_params, ls_prior_params
+from ..ops import initial_params
 from ..ops.kernels import CONTINUOUS_KERNELS
 from ..ops.laplace import laplace_neg_logp, laplace_predict
 from ..ops.optimize import multi_restart_minimize

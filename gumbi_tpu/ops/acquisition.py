@@ -11,17 +11,14 @@ jit-compiled end to end.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 from scipy.stats import norm as _scipy_norm
 from scipy.stats import qmc as _scipy_qmc
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 
-from .kernels import GPSpec, gram, noise_diag
+from .kernels import GPSpec
 from .mll import DEFAULT_JITTER
 from .optimize import multi_restart_minimize
 from .posterior import PosteriorCache, predict_cov

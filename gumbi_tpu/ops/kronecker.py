@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
-from .kernels import GPSpec, GPTerm, _term_cont, coreg_matrix
+from .kernels import GPSpec, _term_cont, coreg_matrix
 from .mll import DEFAULT_JITTER
 from .priors import constrain, log_prior
 
