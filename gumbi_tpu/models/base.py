@@ -616,8 +616,11 @@ class Regressor(ABC):
         train_list = []
 
         if train_only is not None:
+            # (Reference base.py:936 took `.index` of the boolean frame —
+            # selecting every row; here only matching rows are pinned.)
             criteria = [df[dim] == level for dim, level in train_only.items()]
-            train_only_idxs = pd.concat(criteria, axis=1).all(axis=1).index
+            match = pd.concat(criteria, axis=1).all(axis=1)
+            train_only_idxs = df.index[match]
             train_only_df = (
                 df.loc[train_only_idxs] if unit is None else df.loc[train_only_idxs].set_index(unit)
             )

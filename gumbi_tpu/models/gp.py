@@ -626,8 +626,11 @@ class GP(Regressor):
         elif self._structure == "Independent":
             mean, var = self._independent_predict_tall(xc, xk, with_noise)
         else:
-            mean, var = predict_diag(
-                self._spec, self._params, self._cache, xc, xk, with_noise=with_noise
+            from ..ops.posterior import predict_diag_chunked
+
+            mean, var = predict_diag_chunked(
+                self._spec, self._params, self._cache, xc, xk,
+                with_noise=with_noise, chunk=8192,
             )
         return np.asarray(mean), np.asarray(var)
 

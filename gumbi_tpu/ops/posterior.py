@@ -18,7 +18,7 @@ import jax.scipy.linalg as jsl
 from .kernels import GPSpec, gram, gram_diag, noise_diag
 from .mll import DEFAULT_JITTER, cholesky_factor
 
-__all__ = ["PosteriorCache", "posterior_cache", "predict_diag", "predict_cov", "draw_samples"]
+__all__ = ["PosteriorCache", "posterior_cache", "predict_diag", "predict_diag_chunked", "predict_cov", "draw_samples"]
 
 
 class PosteriorCache(NamedTuple):
@@ -54,6 +54,36 @@ def predict_diag(spec: GPSpec, params, cache: PosteriorCache, xc_new, xk_new, wi
     if with_noise:
         var = var + noise_diag(spec, params, xk_new, dtype=var.dtype)
     return mean, var
+
+
+def predict_diag_chunked(
+    spec: GPSpec, params, cache: PosteriorCache, xc_new, xk_new, with_noise=True, chunk=4096
+):
+    """Chunked grid prediction: bounds peak memory to chunk×N cross-Grams.
+
+    Host loop over equal-shape chunks (one compile) plus one remainder chunk;
+    used automatically for very large prediction grids.
+    """
+    m = xc_new.shape[0]
+    if m <= chunk:
+        return predict_diag(spec, params, cache, xc_new, xk_new, with_noise=with_noise)
+    means, vars_ = [], []
+    full = (m // chunk) * chunk
+    for start in range(0, full, chunk):
+        mu, v = predict_diag(
+            spec, params, cache,
+            xc_new[start : start + chunk], xk_new[start : start + chunk],
+            with_noise=with_noise,
+        )
+        means.append(mu)
+        vars_.append(v)
+    if full < m:
+        mu, v = predict_diag(
+            spec, params, cache, xc_new[full:], xk_new[full:], with_noise=with_noise
+        )
+        means.append(mu)
+        vars_.append(v)
+    return jnp.concatenate(means), jnp.concatenate(vars_)
 
 
 @partial(jax.jit, static_argnums=(0,), static_argnames=("with_noise",))

@@ -181,3 +181,51 @@ def test_graft_entry_smoke():
     mean, var = jax.jit(fn)(*args)
     assert mean.shape == (32,)
     assert np.all(np.asarray(var) >= 0)
+
+
+def test_predict_diag_chunked_matches(fitted):
+    from gumbi_tpu.ops.posterior import predict_diag, predict_diag_chunked
+
+    import jax.numpy as jnp
+
+    g = np.linspace(-2, 2, 37)[:, None]
+    xc = jnp.asarray(g)
+    xk = jnp.zeros((37, 0), dtype=jnp.int32)
+    m1, v1 = predict_diag(fitted._spec, fitted._params, fitted._cache, xc, xk)
+    m2, v2 = predict_diag_chunked(
+        fitted._spec, fitted._params, fitted._cache, xc, xk, chunk=10
+    )
+    assert np.allclose(np.asarray(m1), np.asarray(m2), atol=1e-12)
+    assert np.allclose(np.asarray(v1), np.asarray(v2), atol=1e-12)
+
+
+def test_cross_validate_unit_and_train_only(small_ds):
+    import pandas as pd
+
+    # Dataset with repeated entities for unit grouping
+    df = gmb.data.cars(n=30, seed=13)
+    df["batch"] = ["b%d" % (i % 6) for i in range(len(df))]
+    ds = gmb.DataSet(
+        df, outputs=["mpg", "acceleration"], log_vars=["mpg", "acceleration", "horsepower"]
+    )
+    gp = gmb.GP(ds, outputs="mpg")
+    gp.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+    result = gp.cross_validate(
+        unit="batch", n_train=4, warm_start=False, n_restarts=2, maxiter=60
+    )
+    assert np.isfinite(result["train"]["NLPDs"]).all()
+
+    # train_only pins matching rows into the training set
+    pin_val = df["batch"].iloc[0]
+    result2 = gp.cross_validate(
+        pct_train=0.7, train_only={"batch": pin_val}, warm_start=False,
+        n_restarts=2, maxiter=60,
+    )
+    train_df = result2["train"]["data"].wide
+    assert (train_df["batch"] == pin_val).sum() >= (df["batch"] == pin_val).sum()
+
+
+def test_draw_grid_samples(fitted):
+    fitted.prepare_grid(resolution=12)
+    draws = fitted.draw_grid_samples(n_samples=4)
+    assert draws.values().shape == (4, 12)
