@@ -495,6 +495,20 @@ class GP(Regressor):
                 self._xu_k = jnp.zeros((centers.shape[0], 0), dtype=jnp.int32)
         return self
 
+    def build_latent(self, *args, **kwargs):
+        """Latent-GP construction (reference GP.py:759-797).
+
+        With a Gaussian likelihood the latent and marginal formulations give
+        the identical posterior, so the regressor always uses the (cheaper)
+        marginal path; latent modeling is meaningful for non-Gaussian
+        likelihoods — use :class:`gumbi_tpu.GPC`, which builds the latent
+        model with a Laplace approximation.
+        """
+        raise NotImplementedError(
+            "GP uses the marginal formulation (identical posterior for Gaussian "
+            "likelihoods). For latent models with non-Gaussian likelihoods use GPC."
+        )
+
     def find_MAP(self, n_restarts=8, maxiter=500, tol=1e-8, seed=None, **kwargs):
         """Learn MAP hyperparameters by vmapped multi-restart L-BFGS.
 
