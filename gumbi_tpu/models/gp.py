@@ -509,11 +509,15 @@ class GP(Regressor):
             "likelihoods). For latent models with non-Gaussian likelihoods use GPC."
         )
 
-    def find_MAP(self, n_restarts=8, maxiter=500, tol=1e-8, seed=None, **kwargs):
-        """Learn MAP hyperparameters by vmapped multi-restart L-BFGS.
+    def find_MAP(self, n_restarts=8, maxiter=500, tol=1e-8, seed=None, mesh=None, **kwargs):
+        """Learn MAP hyperparameters by multi-restart L-BFGS on device.
 
         Restart 0 starts from the prior moments (the PyMC starting point);
         the rest jitter in unconstrained space. The best finite optimum wins.
+        Passing a :class:`jax.sharding.Mesh` (e.g. from
+        :func:`gumbi_tpu.parallel.make_mesh`) shards the restart batch over
+        its 'restart'/'data' axes — one fit program, restarts in parallel
+        across chips.
         """
         assert self._spec is not None, "Call build_model first"
         seed = self.seed if seed is None else seed
@@ -524,6 +528,26 @@ class GP(Regressor):
         )
         ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
         ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
+
+        if mesh is not None:
+            if self.sparse or self._structure != "Hadamard":
+                raise NotImplementedError(
+                    "Mesh-sharded fitting currently supports the dense Hadamard path."
+                )
+            from ..parallel import sharded_fit_gp_map
+
+            params, neg_logp, aux = sharded_fit_gp_map(
+                mesh, self._spec, self._xc, self._xk, self._yz,
+                ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol,
+            )
+            self._params = params
+            self._neg_logp = float(neg_logp)
+            self._fit_aux = {k: np.asarray(v) for k, v in aux.items()}
+            self.MAP = {k: np.asarray(v) for k, v in params.items()}
+            self._cache = posterior_cache(
+                self._spec, self._params, self._xc, self._xk, self._yz, mask=self._mask
+            )
+            return self.MAP
 
         if self.sparse:
             from ..ops.fitc import fitc_neg_logp
@@ -621,13 +645,29 @@ class GP(Regressor):
     # Prediction
     ################################################################################
 
-    def predict(self, points_array, with_noise=True, additive_level="total", **kwargs):
-        """Predict (mean, variance) at a tall dims-ordered points array."""
+    def predict(self, points_array, with_noise=True, additive_level="total", mesh=None, **kwargs):
+        """Predict (mean, variance) at a tall dims-ordered points array.
+
+        Passing a :class:`jax.sharding.Mesh` shards the prediction points over
+        the mesh's 'data' axis (zero-communication parallel solves).
+        """
         if additive_level != "total":
             raise NotImplementedError("Prediction for additive sublevels is not yet supported.")
         assert self._params is not None, "Model must be fit before predicting"
 
         xc, xk = self._split_X(np.asarray(points_array))
+        if mesh is not None:
+            if self.sparse or self._mask is not None:
+                raise NotImplementedError(
+                    "Mesh-sharded prediction supports the dense unbucketed path."
+                )
+            from ..parallel import sharded_predict_diag
+
+            cache = self._ensure_dense_cache()
+            mean, var = sharded_predict_diag(
+                mesh, self._spec, self._params, cache, xc, xk, with_noise=with_noise
+            )
+            return np.asarray(mean), np.asarray(var)
         if self.sparse:
             from ..ops.fitc import fitc_predict
 

@@ -59,6 +59,16 @@ def sharded_fit_gp_map(
     restart_sharding = NamedSharding(mesh, P(("restart", "data")))
     rep = NamedSharding(mesh, P())
 
+    # Pad the restart batch to a device-count multiple (duplicates of restart
+    # 0 are harmless — the argmin dedupes) so any R shards cleanly.
+    n_dev = mesh.devices.size
+    R = jax.tree_util.tree_leaves(u0s)[0].shape[0]
+    pad = (-R) % n_dev
+    if pad:
+        u0s = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate([a] + [a[:1]] * pad, axis=0), u0s
+        )
+
     u0s = jax.tree_util.tree_map(lambda a: jax.device_put(a, restart_sharding), u0s)
     xc, xk, y, ls_alpha, ls_beta = (
         jax.device_put(v, rep) for v in (xc, xk, y, ls_alpha, ls_beta)

@@ -69,3 +69,32 @@ def test_sharded_fit_runs_and_improves(problem):
     assert float(params["σ"]) > 0
     # Best value must beat every starting value
     assert float(f_best) <= np.nanmin(np.asarray(aux["all_values"])) + 1e-6
+
+
+def test_model_level_mesh_fit_and_predict():
+    """GP.find_MAP(mesh=...) and predict_points(mesh=...) match single-device."""
+    import gumbi_tpu as gmb
+
+    df = gmb.data.cars(n=40, seed=21)
+    ds = gmb.DataSet(
+        df, outputs=["mpg", "acceleration"], log_vars=["mpg", "acceleration", "horsepower"]
+    )
+
+    gp1 = gmb.GP(ds)
+    gp1.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+    gp1.build_model()
+    gp1.find_MAP(n_restarts=4, maxiter=80)
+
+    mesh = make_mesh(8, restart_axis=4)
+    gp2 = gmb.GP(ds)
+    gp2.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+    gp2.build_model()
+    gp2.find_MAP(n_restarts=4, maxiter=80, mesh=mesh)
+
+    assert np.allclose(gp1.MAP["ls_total"], gp2.MAP["ls_total"], rtol=1e-5)
+
+    X, _ = gp1.get_structured_data()
+    p1 = gp1.predict_points(X[:9])
+    p2 = gp2.predict_points(X[:9], mesh=mesh)
+    assert np.allclose(p1.μ, p2.μ, rtol=1e-6)
+    assert np.allclose(p1.σ2, p2.σ2, rtol=1e-5)
