@@ -172,3 +172,42 @@ def test_bucket_padding_exact(cars_ds):
     y2 = gp2.predict_grid()
     assert np.allclose(y1.μ, y2.μ, rtol=1e-8)
     assert np.allclose(y1.σ2, y2.σ2, rtol=1e-8)
+
+
+def test_multioutput_gradients(cars_ds):
+    """Gradient oracle for two outputs on linear surfaces
+    (reference tests/test_botorch.py:276-340 analog)."""
+    import pandas as pd
+
+    res = 5
+    g1, g2 = np.meshgrid(np.linspace(0, 1, res), np.linspace(0, 1, res))
+    out = g1 + g2
+    df = pd.DataFrame(
+        {
+            "input_0": g1.ravel(),
+            "input_1": g2.ravel(),
+            "output_0": out.ravel(),
+            "output_1": out.ravel() + 0.5,
+        }
+    )
+    ds = DataSet(df, outputs=["output_0", "output_1"])
+    gp = GP(ds)
+    gp.fit(
+        outputs=["output_0", "output_1"],
+        continuous_dims=["input_0", "input_1"],
+        MAP_kwargs=dict(n_restarts=2, maxiter=200),
+    )
+
+    gp.prepare_grid(
+        resolution=res * 2,
+        limits=gp.parray(input_0=(0.25, 0.75), input_1=(0.25, 0.75), stdzd=False),
+    )
+    dydX = gp.predict_grid_grad(norm=False)
+    assert len(dydX.names) == 4  # 2 outputs × 2 inputs
+    vals = np.concatenate([dydX[n].values().ravel() for n in dydX.names])
+    assert np.allclose(vals, 1.0, atol=0.1), (vals.min(), vals.max())
+
+    norms = gp.predict_grid_grad(norm=True)
+    assert len(norms.names) == 2
+    nv = np.concatenate([norms[n].values().ravel() for n in norms.names])
+    assert np.allclose(nv, np.sqrt(2), atol=0.1)
