@@ -47,7 +47,14 @@ def kmeans_inducing(X: np.ndarray, n_u: int, seed: int = 0, n_iter: int = 25) ->
 def _fitc_common(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter):
     """Shared FITC factorizations: Luu, A, Λ, LB, c."""
     m = xu_c.shape[0]
-    Kuu = gram(spec, params, xu_c, xu_k, xu_c, xu_k) + jitter * jnp.eye(m, dtype=xc.dtype)
+    Kuu = gram(spec, params, xu_c, xu_k, xu_c, xu_k)
+    # Kuu of M smooth-kernel inducing points is near-singular; the fixed
+    # jitter must clear the factorization's rounding floor (~M·eps relative
+    # to the diagonal scale), which at f32 and M≈512 is ~1e-4 — far above
+    # the f64-calibrated 1e-6 default.
+    eps = float(jnp.finfo(xc.dtype).eps)
+    rel = jnp.maximum(jnp.asarray(jitter, xc.dtype), m * eps)
+    Kuu = Kuu + rel * jnp.mean(jnp.diag(Kuu)) * jnp.eye(m, dtype=xc.dtype)
     Kux = gram(spec, params, xu_c, xu_k, xc, xk)  # (M, N)
     Luu = jnp.linalg.cholesky(Kuu)
     A = jsl.solve_triangular(Luu, Kux, lower=True)  # (M, N)
