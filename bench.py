@@ -35,7 +35,7 @@ from gumbi_tpu.ops.priors import constrain  # noqa: E402
 N_LOCS = int(os.environ.get("BENCH_N_LOCS", 5120))  # per output → 2×N_LOCS points
 N_RESTARTS = int(os.environ.get("BENCH_RESTARTS", 8))
 MAXITER = int(os.environ.get("BENCH_MAXITER", 60))
-COARSE_N = int(os.environ.get("BENCH_COARSE_N", 1280))  # restart search subsample
+COARSE_N = int(os.environ.get("BENCH_COARSE_N", 640))  # restart search subsample
 POLISH_ITERS = int(os.environ.get("BENCH_POLISH_ITERS", 40))
 POLISH_TOP = int(os.environ.get("BENCH_POLISH_TOP", 1))  # candidates polished at full N
 GRID = int(os.environ.get("BENCH_GRID", 100))
