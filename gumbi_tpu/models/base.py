@@ -633,7 +633,7 @@ class Regressor(ABC):
         if unit is not None:
             df = df.set_index(unit)
             remaining = set(df.index)
-            if len(train_list) > 1:
+            if train_list:
                 train_only_entities = set(train_list[-1].index)
                 if train_only_entities & remaining:
                     raise ValueError(

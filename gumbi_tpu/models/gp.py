@@ -194,17 +194,20 @@ class GP(Regressor):
         }
 
     def _prepare_ls_bounds(self, X_s, ARD, ls_bounds):
-        """Per-dimension (lower, upper) lengthscale bounds from pairwise
-        distances, optionally overridden by a user parray of z-space deltas
-        (reference utils/gp_utils.py:15-48)."""
-        from scipy.spatial.distance import pdist
+        """Per-dimension (lower, upper) lengthscale bounds.
 
-        if ARD:
-            col_sets = [X_s[:, [j]] for j in range(X_s.shape[1])]
-        else:
-            col_sets = [X_s]
+        Parses the optional user parray of z-space deltas (NaN entries keep
+        the data-driven default), then delegates the pairwise-distance
+        defaults to :func:`gumbi_tpu.utils.gp_utils.parse_ls_limits` — the
+        single implementation of the bound logic (reference
+        utils/gp_utils.py:15-48). Dimensions absent from ``ls_bounds`` fall
+        back to the defaults.
+        """
+        from ..utils.gp_utils import parse_ls_limits
 
-        user = [None] * len(col_sets)
+        n_sets = X_s.shape[1] if ARD else 1
+        lowers = [None] * n_sets
+        uppers = [None] * n_sets
         if ls_bounds is not None:
             zb = []
             for dim in self.continuous_dims:
@@ -215,22 +218,13 @@ class GP(Regressor):
                 raise ValueError(
                     "Bounds must be specified for only a single dimension if ARD is False"
                 )
-            user = [b + [None] * (2 - len(b)) if b is not None else None for b in zb]
+            user = [b + [None] * (2 - len(b)) for b in zb]
             if len(user) == 1:
-                user = user * len(col_sets)
-
-        lowers, uppers = [], []
-        for points, ub in zip(col_sets, user):
-            distances = pdist(points)
-            distinct = distances != 0
-            default_lower = distances[distinct].min() if distinct.sum() > 0 else 0.01
-            default_upper = distances[distinct].max() if distinct.sum() > 0 else 1.0
-            lo = ub[0] if ub is not None and ub[0] is not None else default_lower
-            lo = max(lo, default_lower, 0.01)
-            hi = ub[1] if ub is not None and ub[1] is not None else default_upper
-            lowers.append(lo)
-            uppers.append(hi)
-        return lowers, uppers
+                user = user * n_sets
+            user = user + [[None, None]] * (n_sets - len(user))
+            lowers = [b[0] for b in user[:n_sets]]
+            uppers = [b[1] for b in user[:n_sets]]
+        return parse_ls_limits(np.asarray(X_s), ARD=ARD, lower=lowers, upper=uppers)
 
     def build_model(
         self,
@@ -1068,6 +1062,25 @@ class GP(Regressor):
         )
         return (ks @ self._cache.alpha)[0]
 
+    def predict_grad(self, points_array, additive_level="total"):
+        """Raw z-space posterior-mean gradient at a tall dims-ordered array.
+
+        The lowest of the three gradient entry points (reference
+        gumbi/regression/botorch/GP.py:535-577): takes the standardized tall
+        points array directly (continuous columns first, categorical coords
+        after, as produced by ``_prepare_points_for_prediction``) and returns
+        the (M, d_cont) array of ∂mean_z/∂x_z with no unit rescaling.
+        ``predict_points_grad`` / ``predict_grid_grad`` build on this and add
+        natural-unit partials and norms.
+        """
+        if additive_level != "total":
+            raise NotImplementedError("Prediction for additive sublevels is not yet supported.")
+        assert self._params is not None, "Model must be fit before predicting"
+        xc, xk = self._split_X(np.asarray(points_array))
+        self._ensure_dense_cache()
+        grad_fn = jax.vmap(jax.grad(self._mean_fn_single, argnums=0), in_axes=(0, 0))
+        return np.asarray(grad_fn(xc, xk))  # (M, d_cont) in z-space
+
     def predict_points_grad(self, points, output=None, norm=True):
         """∂(posterior mean)/∂(continuous inputs) at points, in natural units.
 
@@ -1078,11 +1091,7 @@ class GP(Regressor):
         points_array, tall_points, param_coords = self._prepare_points_for_prediction(
             points, output=output
         )
-        xc, xk = self._split_X(np.asarray(points_array))
-        self._ensure_dense_cache()
-
-        grad_fn = jax.vmap(jax.grad(self._mean_fn_single, argnums=0), in_axes=(0, 0))
-        dydX = np.asarray(grad_fn(xc, xk))  # (M_total, d_cont) in z-space
+        dydX = self.predict_grad(np.asarray(points_array))  # (M_total, d_cont) z-space
 
         partials = {}
         for name in output:

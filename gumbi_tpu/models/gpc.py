@@ -72,6 +72,11 @@ class GPC(GP):
             multitask_kernel="Hadamard",
         )
         self.latent = True
+        # Bernoulli likelihood: drop σ (and any noise coregion) from the
+        # parameter set — the classifier has no Gaussian observation noise.
+        import dataclasses
+
+        self._spec = dataclasses.replace(self._spec, likelihood="bernoulli", noise_coreg=None)
 
         # Targets: raw 0/1 labels, not z-scores.
         _, y_raw = self.get_structured_data("mean")
@@ -90,8 +95,6 @@ class GPC(GP):
         assert self._spec is not None, "Call build_model first"
         seed = self.seed if seed is None else seed
 
-        # σ is part of the generic parameter set but the Bernoulli likelihood
-        # has no Gaussian noise; it stays pinned at its prior mode.
         u0s = initial_params(
             self._spec, self._ls_alpha, self._ls_beta, n_restarts=n_restarts, seed=seed,
             dtype=self._dtype,

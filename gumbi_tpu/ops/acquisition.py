@@ -136,8 +136,6 @@ def _hv2d(points, ref):
     # Running max of y over prefixes strictly before i → the "covered" height
     prev_cover = jnp.concatenate([jnp.array([ref[1]], dtype=ys.dtype), jax.lax.cummax(ys)[:-1]])
     heights = jnp.maximum(ys - prev_cover, 0.0)
-    # Width of the strip owned by point i: from its x to the next-larger x
-    prev_x = jnp.concatenate([xs[:1], xs[:-1]])
     # Strip for point i extends from xs[i] down to ref, minus what later
     # (larger-x) points already covered: handled by pairing each point's
     # height increment with its own width from ref.

@@ -97,6 +97,7 @@ class GPSpec:
     ard: bool = True
     noise_coreg: Optional[CoregTerm] = None  # heteroskedastic output noise factor
     period: Optional[Tuple[float, ...]] = None  # z-space period per continuous dim
+    likelihood: str = "gaussian"  # 'bernoulli' (GPC) has no Gaussian noise σ
 
     @property
     def n_ls(self) -> int:

@@ -71,11 +71,14 @@ def param_info(spec: GPSpec) -> Dict[str, ParamInfo]:
             seen_coregs.add(cg.name)
             info[f"W_{cg.name}"] = ParamInfo((cg.d_out, cg.rank), "normal_0_3", False)
             info[f"κ_{cg.name}"] = ParamInfo((cg.d_out,), "gamma_1.5_1", True)
-    info["σ"] = ParamInfo((), "exponential_1", True)
-    if spec.noise_coreg is not None:
-        cg = spec.noise_coreg
-        info[f"W_{cg.name}"] = ParamInfo((cg.d_out, cg.rank), "normal_0_3", False)
-        info[f"κ_{cg.name}"] = ParamInfo((cg.d_out,), "gamma_1.5_1", True)
+    # Non-Gaussian likelihoods (Bernoulli classifier) carry no observation
+    # noise: σ would be a dead, prior-only dimension in optimization and HMC.
+    if getattr(spec, "likelihood", "gaussian") == "gaussian":
+        info["σ"] = ParamInfo((), "exponential_1", True)
+        if spec.noise_coreg is not None:
+            cg = spec.noise_coreg
+            info[f"W_{cg.name}"] = ParamInfo((cg.d_out, cg.rank), "normal_0_3", False)
+            info[f"κ_{cg.name}"] = ParamInfo((cg.d_out,), "gamma_1.5_1", True)
     return info
 
 

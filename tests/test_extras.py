@@ -131,6 +131,15 @@ def test_gpc_separable():
     proba = gpc.predict_proba(pts)
     assert proba[0] < 0.3 and proba[1] > 0.7
 
+    # Bernoulli likelihood has no Gaussian noise: σ must not be part of the
+    # optimized parameter set (it was a dead, prior-only dimension).
+    from gumbi_tpu.ops.priors import param_info
+
+    assert "σ" not in gpc.MAP
+    info = param_info(gpc._spec)
+    assert "σ" not in info
+    assert not any("Output_noise" in k for k in info)
+
 
 def test_profiling_registry():
     reg = Timings()
@@ -223,6 +232,27 @@ def test_cross_validate_unit_and_train_only(small_ds):
     )
     train_df = result2["train"]["data"].wide
     assert (train_df["batch"] == pin_val).sum() >= (df["batch"] == pin_val).sum()
+
+
+def test_cross_validate_train_only_unit_ambiguity():
+    """`train_only` criteria that slice part of a `unit` entity must raise.
+
+    Reference guard at base.py:945-955; the round-1 rewrite tested
+    len(train_list) > 1 at a point where the list held at most one element,
+    so the ambiguity was silently accepted.
+    """
+    df = gmb.data.cars(n=24, seed=7)
+    df["batch"] = ["b%d" % (i % 4) for i in range(len(df))]
+    df["flag"] = ["a" if i == 0 else "b" for i in range(len(df))]
+    ds = gmb.DataSet(df, outputs=["mpg"], log_vars=["mpg", "horsepower"])
+    gp = gmb.GP(ds, outputs="mpg")
+    gp.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+    # flag=='a' pins one row of batch b0 while b0's other rows remain — the
+    # entity is partially sliced and n_train's meaning becomes ambiguous
+    with pytest.raises(ValueError, match="partially sliced"):
+        gp.cross_validate(
+            unit="batch", n_train=2, train_only={"flag": "a"}, warm_start=False
+        )
 
 
 def test_draw_grid_samples(fitted):

@@ -211,3 +211,12 @@ def test_multioutput_gradients(cars_ds):
     assert len(norms.names) == 2
     nv = np.concatenate([norms[n].values().ravel() for n in norms.names])
     assert np.allclose(nv, np.sqrt(2), atol=0.1)
+
+    # Tall-array entry point (reference botorch/GP.py:535-577): raw z-space
+    # gradients at the prepared tall points, consistent with the high-level path.
+    points_array, _, _ = gp._prepare_points_for_prediction(gp.grid_points, output=gp.outputs)
+    raw = gp.predict_grad(np.asarray(points_array))
+    assert raw.shape == (points_array.shape[0], 2)
+    assert np.all(np.isfinite(raw))
+    # On the linear surface every z-space partial is σx/σy-scaled constant > 0
+    assert np.all(raw > 0)
