@@ -86,9 +86,12 @@ def main():
     # Coarse-to-fine MAP: the multi-restart basin search runs on a subsample
     # (hyperparameters are global — a fraction of the data identifies the
     # basin), then a single full-data L-BFGS polish refines the optimum.
-    # Restarts run sequentially on device (lax.map of a scan-based L-BFGS):
-    # vmapping the optimizer would batch the inner Cholesky, which this TPU
-    # toolchain miscompiles (worker faults at N ≳ 2.5k).
+    # Restarts run sequentially on device (lax.map): with the custom-VJP MLL
+    # the vmapped mode also works on TPU now, but lax.map measures ~3-4x
+    # faster on ONE chip (benchmarks/probe_vmap_tpu.py) — batching buys
+    # nothing for XLA's TPU Cholesky and vmapped lanes run to the slowest
+    # lane. The quality of the coarse-to-fine optimum vs an exhaustive
+    # full-N search is guarded by tests/test_bench_quality.py.
     rng = np.random.default_rng(1)
     sub = np.sort(rng.choice(N_LOCS, min(COARSE_N, N_LOCS), replace=False))
     xc_sub = xc_locs[jnp.asarray(sub)]
@@ -102,10 +105,10 @@ def main():
         def runner(u0):
             return lbfgs_backtracking_minimize(objective, u0, maxiter=MAXITER)
 
-        xs, fs, _ = jax.lax.map(runner, u0s)
+        xs, fs, its = jax.lax.map(runner, u0s)
         # Top-k candidates by coarse objective, polished at full N
         order = jnp.argsort(jnp.where(jnp.isfinite(fs), fs, jnp.inf))[:POLISH_TOP]
-        return jax.tree_util.tree_map(lambda leaf: leaf[order], xs), fs
+        return jax.tree_util.tree_map(lambda leaf: leaf[order], xs), fs, its
 
     @jax.jit
     def polish_fit(u_cands):
@@ -115,21 +118,34 @@ def main():
         def runner(u0):
             return lbfgs_backtracking_minimize(objective, u0, maxiter=POLISH_ITERS)
 
-        xs, fs, _ = jax.lax.map(runner, u_cands)
+        xs, fs, its = jax.lax.map(runner, u_cands)
         best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
-        return jax.tree_util.tree_map(lambda leaf: leaf[best], xs), fs[best]
+        return jax.tree_util.tree_map(lambda leaf: leaf[best], xs), fs[best], its
 
     @jax.jit
     def predict(params):
         kc = kron_cache(spec, params, xc_locs, Y)
         return kron_predict_diag(spec, params, kc, xc_grid, with_noise=True)
 
-    def fit_predict():
-        u_cands, _ = coarse_fit(u0s)
-        u_best, f_best = polish_fit(u_cands)
+    def fit_predict(phases=None):
+        t0 = time.perf_counter()
+        u_cands, _, its_c = coarse_fit(u0s)
+        jax.block_until_ready(its_c)
+        t1 = time.perf_counter()
+        u_best, f_best, its_p = polish_fit(u_cands)
+        jax.block_until_ready(its_p)
+        t2 = time.perf_counter()
         params = constrain(u_best)
         mean, var = predict(params)
-        return params, float(f_best), np.asarray(mean), np.asarray(var)
+        mean, var = np.asarray(mean), np.asarray(var)
+        t3 = time.perf_counter()
+        if phases is not None:
+            phases.update(
+                coarse=t1 - t0, polish=t2 - t1, predict=t3 - t2,
+                coarse_iters=np.asarray(its_c).tolist(),
+                polish_iters=np.asarray(its_p).tolist(),
+            )
+        return params, float(f_best), mean, var
 
     t0 = time.time()
     params, neg, mean, var = fit_predict()
@@ -139,9 +155,16 @@ def main():
         file=sys.stderr,
     )
 
+    phases = {}
     t0 = time.time()
-    params, neg, mean, var = fit_predict()
+    params, neg, mean, var = fit_predict(phases)
     steady = time.time() - t0
+    print(
+        f"[bench] phases: coarse {phases['coarse']*1e3:.0f}ms (iters {phases['coarse_iters']}) | "
+        f"polish {phases['polish']*1e3:.0f}ms (iters {phases['polish_iters']}) | "
+        f"predict {phases['predict']*1e3:.0f}ms",
+        file=sys.stderr,
+    )
 
     # Hot-path throughput: batched (D, N, N) Gram+Cholesky
     from gumbi_tpu.ops.kronecker import kron_mll

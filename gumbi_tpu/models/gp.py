@@ -899,7 +899,8 @@ class GP(Regressor):
         * ``propose(target, acquisition='EI'|'PD')`` — grid-based proposal
           toward a target value over existing predictions (Regressor parity).
         * ``propose(q=...)`` — on-device batch Bayesian optimization: smoothed
-          qLogNEI (single output) or exact-2D qLogNEHVI (two outputs) over
+          qLogNEI (single output), exact-sweep qLogNEHVI (two outputs), or
+          decomposition-free QMC-box qLogNEHVI (three or more outputs) over
           Sobol QMC samples, maximized by vmapped multi-restart L-BFGS.
           Returns (candidates parray, acquisition value).
         """
@@ -909,8 +910,10 @@ class GP(Regressor):
         from ..ops.acquisition import (
             optimize_acqf,
             qlog_nehvi_2d,
+            qlog_nehvi_mc,
             qlog_nei,
             sobol_normal,
+            sobol_uniform,
         )
 
         assert self._params is not None, "Model must be fit before proposing"
@@ -920,11 +923,6 @@ class GP(Regressor):
         seed = self.seed if seed is None else seed
         d = len(self.continuous_dims)
         d_out = len(self.outputs)
-        if d_out > 2:
-            raise NotImplementedError(
-                "On-device hypervolume proposals currently support ≤2 outputs; "
-                "scalarize or select two outputs."
-            )
 
         # Bounds in z-space over the continuous dims
         xc_train = np.asarray(self._xc)
@@ -987,13 +985,13 @@ class GP(Regressor):
                         Xc, xk_c, xc_b, xk_b, base_samples, maximize=maximize,
                     )
             else:
-                # Each location contributes one row per output
-                P = 2 * (q_now + nb_now)
+                # Each location contributes one row per output (output-major)
+                P = d_out * (q_now + nb_now)
                 base_samples = jnp.asarray(
                     sobol_normal(mc_samples, P, seed=seed), dtype=self._dtype
                 )
-                xk_b2 = jnp.concatenate([cat_cols(nb_now, 0), cat_cols(nb_now, 1)])
-                xc_b2 = jnp.concatenate([xc_b, xc_b])
+                xk_bD = jnp.concatenate([cat_cols(nb_now, j) for j in range(d_out)])
+                xc_bD = jnp.concatenate([xc_b] * d_out)
 
                 # Reference ref_point default: per-output train min − 1e-3
                 if ref_point is None:
@@ -1005,14 +1003,32 @@ class GP(Regressor):
                 else:
                     rp = list(ref_point)
 
-                def acq(Xc):
-                    xc_c2 = jnp.concatenate([Xc, Xc])
-                    xk_c2 = jnp.concatenate([cat_cols(q_now, 0), cat_cols(q_now, 1)])
-                    return qlog_nehvi_2d(
-                        self._spec, self._params, self._ensure_dense_cache(),
-                        xc_c2, xk_c2, xc_b2, xk_b2, base_samples,
-                        jnp.asarray(rp, dtype=self._dtype), maximize=maximize,
+                if d_out == 2:
+                    # Exact sweep-line hypervolume (differentiable a.e.)
+                    def acq(Xc):
+                        xc_cD = jnp.concatenate([Xc] * d_out)
+                        xk_cD = jnp.concatenate([cat_cols(q_now, j) for j in range(d_out)])
+                        return qlog_nehvi_2d(
+                            self._spec, self._params, self._ensure_dense_cache(),
+                            xc_cD, xk_cD, xc_bD, xk_bD, base_samples,
+                            jnp.asarray(rp, dtype=self._dtype), maximize=maximize,
+                        )
+                else:
+                    # D ≥ 3: decomposition-free QMC box integration
+                    # (reference qLogNEHVI parity, ref botorch/GP.py:745-753)
+                    u_box = jnp.asarray(
+                        sobol_uniform(512, d_out, seed=seed + 1), dtype=self._dtype
                     )
+
+                    def acq(Xc):
+                        xc_cD = jnp.concatenate([Xc] * d_out)
+                        xk_cD = jnp.concatenate([cat_cols(q_now, j) for j in range(d_out)])
+                        return qlog_nehvi_mc(
+                            self._spec, self._params, self._ensure_dense_cache(),
+                            xc_cD, xk_cD, xc_bD, xk_bD, base_samples,
+                            jnp.asarray(rp, dtype=self._dtype), u_box, d_out,
+                            maximize=maximize,
+                        )
 
             return optimize_acqf(
                 acq,

@@ -109,8 +109,13 @@ class GPC(GP):
 
         import jax
 
+        # The Laplace objective differentiates through an inner Newton loop
+        # (Cholesky inside); batching that VJP blows up TPU compilation, so
+        # restarts stay sequential on TPU. (Proper fix: implicit-function-
+        # theorem custom VJP at the mode — future work.)
+        mode = "sequential" if jax.default_backend() == "tpu" else None
         u_best, f_best, aux = jax.jit(
-            lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+            lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol, mode=mode)
         )(u0s)
         from ..ops.priors import constrain
 

@@ -30,6 +30,8 @@ __all__ = [
     "upper_confidence_bound",
     "qlog_nei",
     "qlog_nehvi_2d",
+    "qlog_nehvi_mc",
+    "hv_dominated_mc",
     "optimize_acqf",
 ]
 
@@ -177,6 +179,91 @@ def qlog_nehvi_2d(
         hv_base = _hv2d(base, ref)
         hv_joint = _hv2d(jnp.concatenate([base, cand], axis=0), ref)
         return jnp.maximum(hv_joint - hv_base, 0.0)
+
+    hvi = jax.vmap(one_sample)(ys)
+    return jnp.log(jnp.mean(hvi) + 1e-25)
+
+
+def hv_dominated_mc(points, ref, u_box):
+    """QMC estimate of the hypervolume dominated by ``points`` above ``ref``.
+
+    ``u_box``: (Q, D) fixed quasi-uniform points in [0, 1)^D, scaled into the
+    [ref, max(points)] box; the estimate is vol(box) × fraction of box points
+    dominated. Exact as Q → ∞ for any D, with O(P·Q·D) vectorized dominance
+    tests instead of a combinatorial box decomposition — the TPU-native trade
+    (VPU throughput for decomposition logic). Hard indicator: use for values
+    and tests; the differentiable acquisition is :func:`qlog_nehvi_mc`.
+    """
+    ref = jnp.asarray(ref, dtype=points.dtype)
+    upper = jnp.maximum(jnp.max(points, axis=0), ref)
+    width = upper - ref
+    U = ref[None, :] + u_box.astype(points.dtype) * width[None, :]  # (Q, D)
+    dominated = jnp.any(jnp.all(points[:, None, :] >= U[None, :, :], axis=-1), axis=0)
+    return jnp.prod(width) * jnp.mean(dominated)
+
+
+def qlog_nehvi_mc(
+    spec: GPSpec,
+    params,
+    cache: PosteriorCache,
+    xc_cand,
+    xk_cand_outputs,
+    xc_base,
+    xk_base_outputs,
+    base_samples,
+    ref_point,
+    u_box,
+    d_out,
+    maximize=True,
+    tau=0.02,
+):
+    """Smoothed log qNEHVI for ANY number of outputs via QMC box integration.
+
+    Replaces the reference's qLogNoisyExpectedHypervolumeImprovement
+    (reference gumbi/regression/botorch/GP.py:745-753, box-decomposition
+    based) with a decomposition-free estimator. Per posterior sample:
+
+        HVI = vol(box) · E_u[ 1{u not dominated by baseline} · s(u) ]
+
+    where u ranges over fixed QMC points in the [ref, max] box, the baseline
+    indicator is HARD (exact — it carries no candidate gradient anyway), and
+    s(u) is a smoothed candidate-dominance (product-sigmoid per dim,
+    probabilistic-OR over the q batch) so the acquisition is differentiable
+    for L-BFGS. Common box points across HV(base∪cand) − HV(base) make the
+    difference estimator low-variance; the whole thing is static-shape
+    elementwise work that vectorizes over (samples × box points × points).
+
+    Row layout matches :func:`qlog_nehvi_2d`: candidates output-major
+    (D_out × q rows) then baseline output-major (D_out × nb rows).
+    """
+    q = xc_cand.shape[0] // d_out
+    nb = xc_base.shape[0] // d_out
+    xc_joint = jnp.concatenate([xc_cand, xc_base], axis=0)
+    xk_joint = jnp.concatenate([xk_cand_outputs, xk_base_outputs], axis=0)
+    ys = _joint_samples(spec, params, cache, xc_joint, xk_joint, base_samples)
+    if not maximize:
+        ys = -ys
+
+    ref = jnp.asarray(ref_point, dtype=ys.dtype)
+    u_box = jnp.asarray(u_box, dtype=ys.dtype)
+
+    def one_sample(row):
+        cand = row[: d_out * q].reshape(d_out, q).T  # (q, D)
+        base = row[d_out * q :].reshape(d_out, nb).T  # (nb, D)
+        upper = jnp.maximum(
+            jnp.max(jnp.concatenate([cand, base], axis=0), axis=0), ref + 1e-9
+        )
+        width = upper - ref
+        U = ref[None, :] + u_box * width[None, :]  # (Q, D)
+        dom_base = jnp.any(
+            jnp.all(base[:, None, :] >= U[None, :, :], axis=-1), axis=0
+        )  # (Q,)
+        t = tau * width + 1e-12
+        s = jax.nn.sigmoid((cand[:, None, :] - U[None, :, :]) / t[None, None, :])
+        p_dom = jnp.prod(s, axis=-1)  # (q, Q)
+        soft_or = 1.0 - jnp.prod(1.0 - p_dom, axis=0)  # (Q,)
+        frac = jnp.mean(jnp.where(dom_base, 0.0, soft_or))
+        return jnp.prod(width) * frac
 
     hvi = jax.vmap(one_sample)(ys)
     return jnp.log(jnp.mean(hvi) + 1e-25)

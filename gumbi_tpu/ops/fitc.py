@@ -17,6 +17,7 @@ import jax.scipy.linalg as jsl
 import numpy as np
 
 from .kernels import GPSpec, gram, gram_diag, noise_diag
+from .linalg import quad_and_logdet, spd_solve
 from .mll import DEFAULT_JITTER
 from .priors import constrain, log_prior
 
@@ -44,17 +45,25 @@ def kmeans_inducing(X: np.ndarray, n_u: int, seed: int = 0, n_iter: int = 25) ->
     return centers
 
 
-def _fitc_common(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter):
-    """Shared FITC factorizations: Luu, A, Λ, LB, c."""
+def _stabilized_kuu(spec: GPSpec, params, xu_c, xu_k, dtype, jitter):
+    """Kuu with a dtype-aware relative jitter.
+
+    Kuu of M smooth-kernel inducing points is near-singular; the fixed
+    jitter must clear the factorization's rounding floor (~M·eps relative
+    to the diagonal scale), which at f32 and M≈512 is ~1e-4 — far above
+    the f64-calibrated 1e-6 default.
+    """
     m = xu_c.shape[0]
     Kuu = gram(spec, params, xu_c, xu_k, xu_c, xu_k)
-    # Kuu of M smooth-kernel inducing points is near-singular; the fixed
-    # jitter must clear the factorization's rounding floor (~M·eps relative
-    # to the diagonal scale), which at f32 and M≈512 is ~1e-4 — far above
-    # the f64-calibrated 1e-6 default.
-    eps = float(jnp.finfo(xc.dtype).eps)
-    rel = jnp.maximum(jnp.asarray(jitter, xc.dtype), m * eps)
-    Kuu = Kuu + rel * jnp.mean(jnp.diag(Kuu)) * jnp.eye(m, dtype=xc.dtype)
+    eps = float(jnp.finfo(dtype).eps)
+    rel = jnp.maximum(jnp.asarray(jitter, dtype), m * eps)
+    return Kuu + rel * jnp.mean(jnp.diag(Kuu)) * jnp.eye(m, dtype=dtype)
+
+
+def _fitc_common(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter):
+    """Shared FITC factorizations: Luu, A, Λ, LB, c (forward-only paths)."""
+    m = xu_c.shape[0]
+    Kuu = _stabilized_kuu(spec, params, xu_c, xu_k, xc.dtype, jitter)
     Kux = gram(spec, params, xu_c, xu_k, xc, xk)  # (M, N)
     Luu = jnp.linalg.cholesky(Kuu)
     A = jsl.solve_triangular(Luu, Kux, lower=True)  # (M, N)
@@ -71,11 +80,32 @@ def _fitc_common(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter):
 
 
 def fitc_mll(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter=DEFAULT_JITTER):
-    """FITC approximate marginal log-likelihood (Snelson & Ghahramani)."""
+    """FITC approximate marginal log-likelihood (Snelson & Ghahramani).
+
+    Expressed through the Woodbury identity on ``Kuu + KuxΛ⁻¹Kxu`` so every
+    factorization sits behind the custom-VJP primitives (ops/linalg.py):
+
+        quad   = yᵀΛ⁻¹y − (KuxΛ⁻¹y)ᵀ (Kuu+G)⁻¹ (KuxΛ⁻¹y),  G = KuxΛ⁻¹Kxu
+        logdet = log|Kuu+G| − log|Kuu| + Σ log λ
+
+    This keeps the sparse objective vmap-safe on TPU (no batched Cholesky /
+    triangular-solve VJPs under multi-restart optimization).
+    """
     n = y.shape[0]
-    _, _, lam, LB, c = _fitc_common(spec, params, xc, xk, xu_c, xu_k, y, jitter)
-    quad = jnp.sum(y * y / lam) - jnp.sum(c * c)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(LB))) + jnp.sum(jnp.log(lam))
+    Kuu = _stabilized_kuu(spec, params, xu_c, xu_k, xc.dtype, jitter)
+    Kux = gram(spec, params, xu_c, xu_k, xc, xk)  # (M, N)
+    V = spd_solve(Kuu, Kux)  # (M, N) = Kuu⁻¹ Kux
+    q_diag = jnp.sum(Kux * V, axis=0)
+    kxx_diag = gram_diag(spec, params, xc, xk)
+    lam = jnp.maximum(kxx_diag - q_diag, 0.0) + noise_diag(spec, params, xk, dtype=xc.dtype)
+
+    y_l = y / lam
+    Ky = Kux @ y_l  # (M,)
+    G = (Kux / lam[None, :]) @ Kux.T  # (M, M)
+    quad_w, logdet_kg = quad_and_logdet(Kuu + G, Ky)
+    _, logdet_kuu = quad_and_logdet(Kuu, jnp.zeros_like(Ky))
+    quad = jnp.sum(y * y_l) - quad_w
+    logdet = logdet_kg - logdet_kuu + jnp.sum(jnp.log(lam))
     return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
 
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from .kernels import GPSpec, _term_cont, coreg_matrix
+from .linalg import quad_and_logdet
 from .mll import DEFAULT_JITTER
 from .priors import constrain, log_prior
 
@@ -111,10 +112,11 @@ def _whitened_eig(B, s2):
 def _unrolled_factors(Kx, ω, d_out):
     """D separate Cholesky factorizations, unrolled over the static batch.
 
-    NOTE: deliberately NOT a batched (D, N, N) cholesky — differentiating a
-    batched cholesky blows up TPU compile time catastrophically (measured
-    502 s vs 2.1 s at N=512 for the single-matrix grad). D is tiny and
-    static, so unrolling costs nothing and compiles like the dense path.
+    Used only on forward-only paths (posterior cache). The differentiated
+    MLL goes through :func:`gumbi_tpu.ops.linalg.quad_and_logdet`, whose
+    custom VJP never differentiates the factorization — the batched-Cholesky
+    VJP that blew up TPU compile time (502 s vs 2.1 s at N=512) is gone from
+    every gradient path.
     """
     n = Kx.shape[0]
     eye = jnp.eye(n, dtype=Kx.dtype)
@@ -124,7 +126,11 @@ def _unrolled_factors(Kx, ω, d_out):
 def kron_mll(spec: GPSpec, params, xc_locs, Y, jitter=DEFAULT_JITTER):
     """Exact MLL of the LMC model via the Kronecker factorization.
 
-    ``xc_locs``: (N, d) shared locations; ``Y``: (N, D) outputs.
+    ``xc_locs``: (N, d) shared locations; ``Y``: (N, D) outputs. The D
+    whitened systems (ωᵢ·Kx + I) factorize as ONE batched (D, N, N) MXU
+    Cholesky inside the custom-VJP quad/logdet primitive; gradients reach
+    ω/Kx analytically through the A-cotangent, never through the
+    factorization itself.
     """
     n, d_out = Y.shape
     Kx = _continuous_gram(spec, params, xc_locs, xc_locs)
@@ -132,14 +138,11 @@ def kron_mll(spec: GPSpec, params, xc_locs, Y, jitter=DEFAULT_JITTER):
     s, ω, U = _whitened_eig(B, s2)
 
     Z = (Y / s[None, :]) @ U  # (N, D)
-    Ls = _unrolled_factors(Kx, ω, d_out)
-    quad = 0.0
-    logdet = n * jnp.sum(jnp.log(s2))
-    for i in range(d_out):
-        v = jsl.solve_triangular(Ls[i], Z[:, i], lower=True)
-        quad = quad + jnp.sum(v * v)
-        logdet = logdet + 2.0 * jnp.sum(jnp.log(jnp.diag(Ls[i])))
-    return -0.5 * (quad + logdet + n * d_out * jnp.log(2.0 * jnp.pi))
+    eye = jnp.eye(n, dtype=Kx.dtype)
+    A = ω[:, None, None] * Kx[None, :, :] + eye[None, :, :]  # (D, N, N)
+    quad, logdet = quad_and_logdet(A, Z.T)
+    total_logdet = n * jnp.sum(jnp.log(s2)) + jnp.sum(logdet)
+    return -0.5 * (jnp.sum(quad) + total_logdet + n * d_out * jnp.log(2.0 * jnp.pi))
 
 
 def kron_neg_logp(spec: GPSpec, uparams, xc_locs, Y, ls_alpha, ls_beta, jitter=DEFAULT_JITTER):

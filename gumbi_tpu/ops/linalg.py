@@ -1,0 +1,109 @@
+"""Cholesky-backed quadratic form + log-determinant with a hand-derived VJP.
+
+Every Gaussian (marginal) likelihood in the engine reduces to
+
+    quad   = zᵀ A⁻¹ z
+    logdet = log |A|
+
+for an SPD matrix ``A``. Differentiating these through ``jnp.linalg.cholesky``
+is the single worst program on the TPU toolchain: the batched Cholesky VJP
+blows compile time up ~250× (502 s vs 2.1 s measured at N=512) and faults the
+worker at N ≳ 2.5k, which is why round 1 had to run hyperparameter restarts
+sequentially. The analytic gradients
+
+    ∂quad/∂A   = −α αᵀ,   α = A⁻¹ z
+    ∂quad/∂z   = 2 α
+    ∂logdet/∂A = A⁻¹
+
+never differentiate the factorization at all: the backward pass is two
+(batched) triangular solves against the forward factor. ``quad_and_logdet``
+packages this as a ``jax.custom_vjp`` so callers (dense MLL, Kronecker MLL,
+FITC) get exact gradients with Cholesky appearing only in forward passes —
+vmap/batching then lowers to plain batched factorizations and solves.
+
+The reference has no analog (PyTensor/PyTorch autodiff handled this); this is
+TPU-native infrastructure mandated by the vmapped-multi-restart target
+(BASELINE.md north star).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+__all__ = ["quad_and_logdet", "spd_solve"]
+
+
+def _chol_and_alpha(A, z):
+    L = jnp.linalg.cholesky(A)
+    α = jsl.cho_solve((L, True), z[..., :, None])[..., 0]
+    return L, α
+
+
+@jax.custom_vjp
+def quad_and_logdet(A, z):
+    """(zᵀA⁻¹z, log|A|) for SPD ``A`` — Cholesky is never differentiated.
+
+    Shapes: ``A`` (..., N, N), ``z`` (..., N); returns two (...,) arrays.
+    Leading batch dimensions map onto XLA's batched Cholesky/solves. A
+    non-PD ``A`` surfaces as NaNs (downstream NaN→+inf guards handle it).
+    """
+    L, α = _chol_and_alpha(A, z)
+    quad = jnp.sum(z * α, axis=-1)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    return quad, logdet
+
+
+def _qld_fwd(A, z):
+    L, α = _chol_and_alpha(A, z)
+    quad = jnp.sum(z * α, axis=-1)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    return (quad, logdet), (L, α)
+
+
+def _qld_bwd(res, cotangents):
+    L, α = res
+    g_quad, g_logdet = cotangents
+    n = L.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+    # A⁻¹ = L⁻ᵀ L⁻¹ via ONE triangular solve + one matmul: triangular solves
+    # are the slow op on TPU (sequential panels), matmuls ride the MXU — this
+    # halves the solve cost vs cho_solve against the identity.
+    Linv = jsl.solve_triangular(L, eye, lower=True)
+    Ainv = jnp.swapaxes(Linv, -1, -2) @ Linv
+    outer = α[..., :, None] * α[..., None, :]
+    A_bar = g_logdet[..., None, None] * Ainv - g_quad[..., None, None] * outer
+    z_bar = 2.0 * g_quad[..., None] * α
+    return A_bar, z_bar
+
+
+quad_and_logdet.defvjp(_qld_fwd, _qld_bwd)
+
+
+@jax.custom_vjp
+def spd_solve(A, B):
+    """A⁻¹B for SPD ``A`` (..., N, N) and ``B`` (..., N, K).
+
+    Same rationale as :func:`quad_and_logdet`: the backward pass solves
+    against the forward Cholesky factor (B̄ = A⁻¹Ḡ, Ā = −B̄Xᵀ for symmetric
+    A) instead of differentiating the factorization/triangular solves.
+    """
+    L = jnp.linalg.cholesky(A)
+    return jsl.cho_solve((L, True), B)
+
+
+def _spd_solve_fwd(A, B):
+    L = jnp.linalg.cholesky(A)
+    X = jsl.cho_solve((L, True), B)
+    return X, (L, X)
+
+
+def _spd_solve_bwd(res, G):
+    L, X = res
+    B_bar = jsl.cho_solve((L, True), G)
+    A_bar = -B_bar @ jnp.swapaxes(X, -1, -2)
+    return A_bar, B_bar
+
+
+spd_solve.defvjp(_spd_solve_fwd, _spd_solve_bwd)

@@ -17,9 +17,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 
 from .kernels import GPSpec, gram, noise_diag
+from .linalg import quad_and_logdet
 from .priors import constrain, log_prior
 
 __all__ = ["mll", "map_neg_logp", "cholesky_factor", "DEFAULT_JITTER"]
@@ -29,8 +29,8 @@ __all__ = ["mll", "map_neg_logp", "cholesky_factor", "DEFAULT_JITTER"]
 DEFAULT_JITTER = 1e-6
 
 
-def cholesky_factor(spec: GPSpec, params, xc, xk, y_dtype, jitter=DEFAULT_JITTER, mask=None):
-    """Cholesky of K(X, X) + noise·I (+ jitter).
+def _noisy_gram(spec: GPSpec, params, xc, xk, jitter=DEFAULT_JITTER, mask=None):
+    """K(X, X) + noise·I (+ jitter), with masked rows as identity rows.
 
     ``mask`` (0/1 per row, optional) supports bucket-padded data: masked-out
     rows become unit-diagonal identity rows, contributing exactly zero to the
@@ -43,29 +43,36 @@ def cholesky_factor(spec: GPSpec, params, xc, xk, y_dtype, jitter=DEFAULT_JITTER
     if mask is not None:
         K = K * (mask[:, None] * mask[None, :])
         d = mask * d + (1.0 - mask)
-    K = K + jnp.diag(d)
-    return jnp.linalg.cholesky(K)
+    return K + jnp.diag(d)
 
 
-def _gaussian_logp(L, y, mask=None):
+def cholesky_factor(spec: GPSpec, params, xc, xk, y_dtype, jitter=DEFAULT_JITTER, mask=None):
+    """Cholesky of K(X, X) + noise·I (+ jitter); see :func:`_noisy_gram`."""
+    return jnp.linalg.cholesky(_noisy_gram(spec, params, xc, xk, jitter, mask))
+
+
+def _gaussian_logp_from_K(Kn, y, mask=None):
+    """log N(y | 0, Kn) through the custom-VJP quad/logdet primitive.
+
+    Gradients w.r.t. Kn (and hence the hyperparameters) use the analytic
+    identity ∂logp/∂K = ½(ααᵀ − K⁻¹) — the Cholesky itself is never
+    differentiated, which keeps vmapped (multi-restart) compilation sane on
+    TPU (see ops/linalg.py).
+    """
     if mask is not None:
         y = y * mask
         n = jnp.sum(mask)
     else:
         n = y.shape[0]
-    α = jsl.solve_triangular(L, y, lower=True)
-    return (
-        -0.5 * jnp.sum(α**2)
-        - jnp.sum(jnp.log(jnp.diag(L)))
-        - 0.5 * n * jnp.log(2.0 * jnp.pi)
-    )
+    quad, logdet = quad_and_logdet(Kn, y)
+    return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
 
 
 @partial(jax.jit, static_argnums=0)
 def mll(spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER, mask=None):
     """Gaussian marginal log-likelihood log p(y | X, θ)."""
-    L = cholesky_factor(spec, params, xc, xk, y.dtype, jitter, mask)
-    return _gaussian_logp(L, y, mask)
+    Kn = _noisy_gram(spec, params, xc, xk, jitter, mask)
+    return _gaussian_logp_from_K(Kn, y, mask)
 
 
 def map_neg_logp(
@@ -77,7 +84,7 @@ def map_neg_logp(
     rather than stepping into invalid regions.
     """
     params = constrain(uparams)
-    L = cholesky_factor(spec, params, xc, xk, y.dtype, jitter, mask)
-    data_logp = _gaussian_logp(L, y, mask)
+    Kn = _noisy_gram(spec, params, xc, xk, jitter, mask)
+    data_logp = _gaussian_logp_from_K(Kn, y, mask)
     total = data_logp + log_prior(spec, uparams, ls_alpha, ls_beta)
     return jnp.where(jnp.isfinite(total), -total, jnp.inf)

@@ -154,10 +154,21 @@ def lbfgs_scan_minimize(fun, x0, maxiter=100, memory_size=16, max_backtracking=2
 
 
 def _default_mode():
-    """TPU: sequential scan restarts — vmapping the optimizer batches the
-    inner Cholesky, which this TPU toolchain miscompiles (compile-time
-    blowups at small N, worker kernel faults at N ≳ 2.5k). CPU/GPU: vmap."""
-    return "sequential" if jax.default_backend() == "tpu" else "vmap"
+    """Measured per-backend default; both modes now work everywhere.
+
+    With the custom-VJP MLLs (ops/linalg.py) the Cholesky is never
+    differentiated, so vmapped restarts no longer trip the TPU
+    batched-Cholesky-VJP compile blowup (round 1: 502 s compile / worker
+    faults; now: 23-39 s compile, runs clean — benchmarks/probe_vmap_tpu.py).
+    On a SINGLE TPU chip lax.map is still ~3-4x faster steady-state (XLA's
+    TPU Cholesky gains nothing from batching, and vmapped lanes all run to
+    the slowest lane's iteration count): N=640 R=8 0.45 s vs 2.09 s, N=2560
+    R=4 2.12 s vs 6.57 s. So: sequential on one TPU chip — a measured
+    performance choice, not a workaround; vmap elsewhere and for
+    restart-sharded meshes (parallel/sharded.py)."""
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        return "sequential"
+    return "vmap"
 
 
 def multi_restart_minimize(fun, x0s, maxiter=250, tol=1e-6, chunk=None, mode=None):
@@ -180,7 +191,13 @@ def multi_restart_minimize(fun, x0s, maxiter=250, tol=1e-6, chunk=None, mode=Non
         runner = lambda x0: lbfgs_backtracking_minimize(fun, x0, maxiter=maxiter)
         xs, fs, its = jax.lax.map(runner, x0s)
     else:
-        runner = lambda x0: lbfgs_minimize(fun, x0, maxiter=maxiter, tol=tol)
+        if jax.default_backend() == "tpu":
+            # Backtracking line search: a much smaller traced program than the
+            # zoom search (nested while-of-while), which compiles slowly and
+            # has faulted TPU workers at large N on this toolchain.
+            runner = lambda x0: lbfgs_backtracking_minimize(fun, x0, maxiter=maxiter)
+        else:
+            runner = lambda x0: lbfgs_minimize(fun, x0, maxiter=maxiter, tol=tol)
         if chunk is None or chunk >= R:
             xs, fs, its = jax.vmap(runner)(x0s)
         else:

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
@@ -31,11 +33,18 @@ except ImportError:  # pragma: no cover
 
 from ..ops.kernels import GPSpec, gram, gram_diag, noise_diag
 from ..ops.mll import DEFAULT_JITTER
-from ..ops.optimize import multi_restart_minimize
-from ..ops.priors import constrain
+from ..ops.optimize import lbfgs_backtracking_minimize, multi_restart_minimize
+from ..ops.priors import constrain, log_prior
 from ..ops.mll import map_neg_logp
+from .blocked import dist_quad_and_logdet
 
-__all__ = ["sharded_fit_gp_map", "sharded_gram_mll", "sharded_predict_diag", "train_step"]
+__all__ = [
+    "sharded_fit_gp_map",
+    "sharded_gram_mll",
+    "sharded_predict_diag",
+    "data_sharded_fit_gp_map",
+    "train_step",
+]
 
 
 def sharded_fit_gp_map(
@@ -86,39 +95,104 @@ def sharded_fit_gp_map(
         return run(spec, xc, xk, y, ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol)
 
 
-def sharded_gram_mll(mesh: Mesh, spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER):
-    """MLL with the Gram row-blocks built in parallel over the 'data' axis.
+def _sharded_noisy_gram(mesh: Mesh, spec: GPSpec, params, xc, xk, jitter, n):
+    """Row-sharded K + noise·I (+ jitter), padding rows as identity rows.
 
-    Each device computes K[local_rows, :] (its shard of the O(N²·d) assembly),
-    an all_gather over ICI assembles K, and the Cholesky runs replicated.
+    Returns (K_rows (Npad, Npad) sharded P('data', None), y-padding mask).
+    Each device builds only its (Npad/P, Npad) block — O(N²/P) memory — and
+    pad rows become unit-diagonal identity rows contributing zero to the
+    quadratic form and log-determinant (same trick as ops.mll bucket padding).
     """
     n_data = mesh.shape["data"]
-    n = y.shape[0]
     pad = (-n) % n_data
-
     xc_p = jnp.pad(xc, ((0, pad), (0, 0)))
     xk_p = jnp.pad(xk, ((0, pad), (0, 0)))
+    mask = jnp.concatenate(
+        [jnp.ones(n, dtype=xc.dtype), jnp.zeros(pad, dtype=xc.dtype)]
+    )
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P("data", None), P("data", None), P(None, None), P(None, None)),
-        out_specs=P(None, None),
-        check_vma=False,  # all_gather(tiled) output is replicated over 'data'
+        in_specs=(
+            P(),
+            P("data", None), P("data", None), P("data"),
+            P(None, None), P(None, None), P(None),
+        ),
+        out_specs=P("data", None),
+        check_vma=False,
     )
-    def row_blocks(params, xc_rows, xk_rows, xc_all, xk_all):
-        K_local = gram(spec, params, xc_rows, xk_rows, xc_all, xk_all)
-        return jax.lax.all_gather(K_local, "data", axis=0, tiled=True)
+    def rows(params, xc_rows, xk_rows, m_rows, xc_all, xk_all, m_all):
+        K = gram(spec, params, xc_rows, xk_rows, xc_all, xk_all)
+        K = K * (m_rows[:, None] * m_all[None, :])
+        d_local = noise_diag(spec, params, xk_rows, dtype=K.dtype) + jitter
+        d_local = m_rows * d_local + (1.0 - m_rows)
+        nb = xc_rows.shape[0]
+        p = jax.lax.axis_index("data")
+        zero = jnp.zeros((), dtype=p.dtype)
+        diag_blk = jax.lax.dynamic_slice(K, (zero, p * nb), (nb, nb)) + jnp.diag(d_local)
+        return jax.lax.dynamic_update_slice(K, diag_blk, (zero, p * nb))
 
-    K = row_blocks(params, xc_p, xk_p, xc_p, xk_p)[:n, :n]
-    d = noise_diag(spec, params, xk, dtype=K.dtype) + jitter
-    L = jnp.linalg.cholesky(K + jnp.diag(d))
-    alpha = jsl.solve_triangular(L, y, lower=True)
-    return (
-        -0.5 * jnp.sum(alpha**2)
-        - jnp.sum(jnp.log(jnp.diag(L)))
-        - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    return rows(params, xc_p, xk_p, mask, xc_p, xk_p, mask), mask
+
+
+def sharded_gram_mll(mesh: Mesh, spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER):
+    """MLL with Gram assembly AND factorization sharded over the 'data' axis.
+
+    Each device builds its K[local_rows, :] block (the O(N²·d) assembly) and
+    the O(N³) Cholesky runs as the distributed blocked factorization
+    (:mod:`gumbi_tpu.parallel.blocked`) — per-device memory O(N²/P), compute
+    O(N³/P). Differentiable end-to-end via the distributed custom VJP.
+    """
+    n = y.shape[0]
+    Kn, mask = _sharded_noisy_gram(mesh, spec, params, xc, xk, jitter, n)
+    pad = Kn.shape[0] - n
+    y_p = jnp.pad(y, (0, pad))
+    quad, logdet = dist_quad_and_logdet(mesh, Kn, y_p)
+    return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+
+
+def data_sharded_fit_gp_map(
+    mesh: Mesh,
+    spec: GPSpec,
+    xc,
+    xk,
+    y,
+    ls_alpha,
+    ls_beta,
+    u0s,
+    maxiter=250,
+    jitter=DEFAULT_JITTER,
+):
+    """MAP fit where the N-axis (Gram + Cholesky) shards over 'data'.
+
+    The large-N path: a single chip cannot hold the N×N Gram, so every MLL
+    (and its analytic-VJP gradient) runs distributed; restarts run
+    sequentially (host loop — at these sizes the optimizer step, not the
+    restart count, dominates). Returns (params, neg_logp, aux).
+    """
+    n = y.shape[0]
+
+    def objective(uparams):
+        params = constrain(uparams)
+        logp = sharded_gram_mll(mesh, spec, params, xc, xk, y, jitter)
+        total = logp + log_prior(spec, uparams, ls_alpha, ls_beta)
+        return jnp.where(jnp.isfinite(total), -total, jnp.inf)
+
+    run_one = jax.jit(
+        lambda u0: lbfgs_backtracking_minimize(objective, u0, maxiter=maxiter)
     )
+    R = jax.tree_util.tree_leaves(u0s)[0].shape[0]
+    best = (None, jnp.inf, None)
+    all_vals = []
+    for r in range(R):
+        u0 = jax.tree_util.tree_map(lambda leaf: leaf[r], u0s)
+        x_r, f_r, it_r = run_one(u0)
+        all_vals.append(float(f_r))
+        if float(f_r) < float(best[1]):
+            best = (x_r, f_r, it_r)
+    aux = {"all_values": jnp.asarray(all_vals), "best_restart": int(np.argmin(all_vals))}
+    return constrain(best[0]), best[1], aux
 
 
 def sharded_predict_diag(mesh: Mesh, spec: GPSpec, params, cache, xc_new, xk_new, with_noise=True):

@@ -9,6 +9,7 @@ import gumbi_tpu as gmb
 from gumbi_tpu.ops.acquisition import (
     _hv2d,
     expected_improvement,
+    hv_dominated_mc,
     optimize_acqf,
     sobol_normal,
     sobol_uniform,
@@ -50,6 +51,86 @@ def test_hv2d_known_values():
     # Point below reference adds nothing
     pts = jnp.asarray([[2.0, 3.0], [-1.0, -4.0]])
     assert np.isclose(float(_hv2d(pts, ref)), 6.0)
+
+
+def _hv_exact_inclusion_exclusion(points, ref):
+    """Exact dominated hypervolume by inclusion-exclusion (any D, small P)."""
+    from itertools import combinations
+
+    points = np.maximum(np.asarray(points), np.asarray(ref))
+    P = len(points)
+    total = 0.0
+    for k in range(1, P + 1):
+        for idx in combinations(range(P), k):
+            corner = np.min(points[list(idx)], axis=0)
+            total += (-1) ** (k + 1) * np.prod(np.maximum(corner - ref, 0.0))
+    return total
+
+
+def test_hv_mc_matches_exact_2d_and_3d():
+    rng = np.random.default_rng(0)
+    u2 = jnp.asarray(sobol_uniform(4096, 2, seed=2))
+    u3 = jnp.asarray(sobol_uniform(8192, 3, seed=3))
+
+    for _ in range(5):
+        pts2 = jnp.asarray(rng.uniform(0.1, 3.0, size=(5, 2)))
+        ref2 = jnp.zeros(2)
+        exact = float(_hv2d(pts2, ref2))
+        mc = float(hv_dominated_mc(pts2, ref2, u2))
+        assert np.isclose(mc, exact, rtol=0.02), (mc, exact)
+
+    for _ in range(5):
+        pts3 = rng.uniform(0.1, 3.0, size=(5, 3))
+        ref3 = np.zeros(3)
+        exact = _hv_exact_inclusion_exclusion(pts3, ref3)
+        mc = float(hv_dominated_mc(jnp.asarray(pts3), jnp.asarray(ref3), u3))
+        assert np.isclose(mc, exact, rtol=0.03), (mc, exact)
+
+
+def test_hv_mc_improvement_geometry():
+    """A Pareto-improving point adds volume; a dominated point adds ~none."""
+    rng = np.random.default_rng(1)
+    base = rng.uniform(0.2, 1.0, size=(8, 3))
+    ref = np.zeros(3)
+    u = jnp.asarray(sobol_uniform(8192, 3, seed=4))
+    hv_base = float(hv_dominated_mc(jnp.asarray(base), jnp.asarray(ref), u))
+    improving = np.vstack([base, [1.2, 1.2, 1.2]])
+    dominated = np.vstack([base, [0.1, 0.1, 0.1]])
+    hv_imp = float(hv_dominated_mc(jnp.asarray(improving), jnp.asarray(ref), u))
+    hv_dom = float(hv_dominated_mc(jnp.asarray(dominated), jnp.asarray(ref), u))
+    assert hv_imp > hv_base + 0.1
+    assert abs(hv_dom - hv_base) < 0.02
+
+
+def test_propose_qnehvi_three_outputs_avoids_dominated_region():
+    """General-D parity (reference qLogNEHVI, ref botorch/GP.py:745-753):
+    with all three outputs increasing in x, the Pareto-optimal region is the
+    top of the box — proposals must not land in the dominated low-x half."""
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0.0, 1.0, 36)
+    df_dict = {"x": x}
+    for j, slope in enumerate([1.0, 0.8, 1.2]):
+        df_dict[f"out_{j}"] = slope * x + 0.05 * rng.normal(size=len(x))
+    import pandas as pd
+
+    ds = gmb.DataSet(pd.DataFrame(df_dict), outputs=["out_0", "out_1", "out_2"])
+    gp = gmb.GP(ds)
+    gp.fit(
+        outputs=["out_0", "out_1", "out_2"],
+        continuous_dims=["x"],
+        multitask_kernel="Hadamard",
+        MAP_kwargs=dict(n_restarts=2, maxiter=100),
+    )
+    # sequential (greedy) mode matches the reference's optimize_acqf usage
+    # (ref botorch/GP.py:761-769) and avoids the q-joint flat-plateau trap
+    cands, val = gp.propose(
+        q=2, raw_samples=64, num_restarts=4, mc_samples=32, max_baseline=12,
+        sequential=True,
+    )
+    assert cands.shape == (2,)
+    assert np.isfinite(val)
+    xs = cands.values()
+    assert np.all(xs > np.median(x)), f"proposals {xs} landed in the dominated region"
 
 
 def test_optimize_acqf_finds_peak():
