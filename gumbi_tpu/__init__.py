@@ -17,6 +17,18 @@ import jax as _jax
 if os.environ.get("GUMBI_TPU_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the engine's jitted programs (multi-restart
+# L-BFGS, Kronecker MLL, posterior caches) take minutes to compile cold on
+# TPU; caching them makes every process after the first start warm. The
+# JAX_COMPILATION_CACHE_DIR *env var* is not read by this toolchain — only
+# the config API enables the cache — so wire it here. Opt out with
+# GUMBI_TPU_CACHE_DIR="".
+_cache_dir = os.environ.get(
+    "GUMBI_TPU_CACHE_DIR", os.path.expanduser("~/.cache/jax")
+)
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+
 # TPU matmuls default to bf16 passes, which makes N×N RBF Grams indefinite
 # (squared-distance errors ~1e-2 → Cholesky failure). GP linear algebra needs
 # true f32: default every matmul to HIGHEST precision. Hot kernels that can

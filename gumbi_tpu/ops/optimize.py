@@ -77,14 +77,20 @@ def lbfgs_backtracking_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16,
     runs safely inside lax.map, and unlike the fixed-length scan it exits as
     soon as the objective stops moving (relative decrease < ftol — a
     realistic f32 criterion; gradient-norm tolerances stall at f32 precision).
+
+    ``store_grad=False`` is a measured choice: with the analytic-VJP MLLs the
+    gradient costs ~3× the value (N=5120: 48 ms vs 15 ms), and store_grad=True
+    linearizes the objective at EVERY backtracking trial — 134 ms/iteration
+    observed vs ~80 ms with value-only trials plus one explicit
+    value_and_grad per iteration.
     """
     opt = optax.lbfgs(
         memory_size=memory_size,
         linesearch=optax.scale_by_backtracking_linesearch(
-            max_backtracking_steps=max_backtracking, store_grad=True
+            max_backtracking_steps=max_backtracking, store_grad=False
         ),
     )
-    value_and_grad = optax.value_and_grad_from_state(fun)
+    value_and_grad = jax.value_and_grad(fun)
 
     def cond(carry):
         _, _, it, done, _, _, _ = carry
@@ -92,7 +98,7 @@ def lbfgs_backtracking_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16,
 
     def body(carry):
         x, state, it, _, best_x, best_f, v_prev = carry
-        value, grad = value_and_grad(x, state=state)
+        value, grad = value_and_grad(x)
         updates, state = opt.update(grad, state, x, value=value, grad=grad, value_fn=fun)
         x_new = optax.apply_updates(x, updates)
         finite = jnp.isfinite(value)
