@@ -53,13 +53,19 @@ N_LOCS = int(os.environ.get("BENCH_N_LOCS", 5120))  # per output → 2×N_LOCS p
 N_RESTARTS = int(os.environ.get("BENCH_RESTARTS", 8))
 COARSE_N = int(os.environ.get("BENCH_COARSE_N", 640))  # restart basin search
 COARSE_ITERS = int(os.environ.get("BENCH_COARSE_ITERS", 32))
+# Mid config is a measured trade: investing more in mid (2560 pts, 24 iters,
+# tight ftol) does NOT reduce polish iterations — the N=2.5k optimum differs
+# from the full-N optimum by a few nats regardless, so polish has ~the same
+# genuine work from any subsample start. Keep mid cheap.
 MID_N = int(os.environ.get("BENCH_MID_N", 2048))  # warm-start refinement
 MID_ITERS = int(os.environ.get("BENCH_MID_ITERS", 16))
+MID_FTOL = float(os.environ.get("BENCH_MID_FTOL", 1e-6))
 POLISH_ITERS = int(os.environ.get("BENCH_POLISH_ITERS", 20))  # full-N cap
-# Relative-decrease stop for the full-N polish. 1e-5 ≈ 0.07 nats/step at this
-# problem's scale — far inside the 0.005 nats/pt basin-equivalence tolerance
-# the quality guard (tests/test_bench_quality.py) certifies.
-POLISH_FTOL = float(os.environ.get("BENCH_POLISH_FTOL", 1e-5))
+# Relative-decrease stop for the full-N polish. 3e-5 ≈ 0.2 nats/step at this
+# problem's scale — far inside the 0.005 nats/pt (≈51 nats total)
+# basin-equivalence tolerance the quality guard (tests/test_bench_quality.py)
+# certifies.
+POLISH_FTOL = float(os.environ.get("BENCH_POLISH_FTOL", 3e-5))
 GRID = int(os.environ.get("BENCH_GRID", 100))
 BASELINE_SECONDS = 1.0
 DTYPE = jnp.float32
@@ -132,7 +138,7 @@ def main():
         return jax.tree_util.tree_map(lambda leaf: leaf[best], xs), its
 
     def mid(u0):
-        x, _, it = stage(xc_m, Y_m, MID_ITERS)(u0)
+        x, _, it = stage(xc_m, Y_m, MID_ITERS, ftol=MID_FTOL)(u0)
         return x, it
 
     def polish(u0):
@@ -167,10 +173,16 @@ def main():
 
     # --- compile + first run ---
     t0 = time.time()
-    params, neg, mean_h, var_h, its, _ = run_chain()
+    params, neg, mean_h, var_h, its, ts0 = run_chain()
     neg = float(neg)
     compile_and_run = time.time() - t0
-    print(f"[bench] compile+first-run {compile_and_run:.1f}s, neg_logp={neg:.2f}", file=sys.stderr)
+    c0, c1, c2, c3, c4 = ts0
+    print(
+        f"[bench] compile+first-run {compile_and_run:.1f}s "
+        f"(per program: coarse {c1-c0:.0f}s | mid {c2-c1:.0f}s | polish {c3-c2:.0f}s | "
+        f"predict {c4-c3:.0f}s), neg_logp={neg:.2f}",
+        file=sys.stderr,
+    )
 
     # --- steady state ---
     reps = 3

@@ -23,8 +23,22 @@ from jax import lax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
 
-sys.path.insert(0, "/root/repo")
-from gumbi_tpu.ops.linalg import tri_inverse  # noqa: E402
+
+def tri_inverse(L, base=640):
+    """Recursive GEMM-based lower-triangular inverse (see probe_chol2.py)."""
+    n = L.shape[-1]
+    if n <= base:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+        return jsl.solve_triangular(L, eye, lower=True)
+    h = n // 2
+    V11 = tri_inverse(L[..., :h, :h], base)
+    V22 = tri_inverse(L[..., h:, h:], base)
+    V21 = -(V22 @ (L[..., h:, :h] @ V11))
+    z12 = jnp.zeros(L.shape[:-2] + (h, n - h), dtype=L.dtype)
+    top = jnp.concatenate([V11, z12], axis=-1)
+    bot = jnp.concatenate([V21, V22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 5120
 D = 2
@@ -95,6 +109,7 @@ def main():
         ("v2 recursive + dot_general  ", v2_rec_dotgen),
         ("v3 xla solve + dot_general  ", v3_xla_dotgen),
         ("v4 cho_solve(L, I)          ", v4_cho_solve_eye),
+        ("v5 recursive + opt barrier  ", v5_rec_barrier),
     ]:
         jf = jax.jit(f)
         t = timeit(jf, L, al, gq, gl)
@@ -105,6 +120,14 @@ def main():
         else:
             err = float(jnp.max(jnp.abs(out - ref)))
         print(f"{name}: {t*1e3:6.2f} ms (|Δ|={err:.1e})")
+
+
+# Recursive inverse behind an optimization barrier — tests whether the
+# composed slowdown (v1/v2 vs isolated tri_inverse) is XLA fusing or
+# rematerializing the concat-built inverse into its consumers.
+def v5_rec_barrier(L, al, gq, gl):
+    Linv = jax.lax.optimization_barrier(tri_inverse(L))
+    return assemble(gram_t_gemm(Linv), al, gq, gl)
 
 
 if __name__ == "__main__":

@@ -109,13 +109,12 @@ class GPC(GP):
 
         import jax
 
-        # The Laplace objective differentiates through an inner Newton loop
-        # (Cholesky inside); batching that VJP blows up TPU compilation, so
-        # restarts stay sequential on TPU. (Proper fix: implicit-function-
-        # theorem custom VJP at the mode — future work.)
-        mode = "sequential" if jax.default_backend() == "tpu" else None
+        # laplace_mll ships the exact analytic gradient at the mode as a
+        # custom VJP (GPML eqs. 5.21-5.24, ops/laplace.py), so gradients
+        # never differentiate through the inner Newton loop's Cholesky and
+        # restarts use the same per-backend default mode as the regressor.
         u_best, f_best, aux = jax.jit(
-            lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol, mode=mode)
+            lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
         )(u0s)
         from ..ops.priors import constrain
 

@@ -32,7 +32,40 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
-__all__ = ["quad_and_logdet", "spd_solve"]
+__all__ = ["quad_and_logdet", "spd_solve", "tri_inverse"]
+
+# Size gate for the recursive triangular inverse in the VJP: below this,
+# XLA's fused solve wins (fewer ops, no concat traffic); above it the
+# GEMM-based recursion is ~2.4× faster — but ONLY behind an optimization
+# barrier (measured on v5e at N=5120 f32, benchmarks/probe_qld_bwd.py:
+# XLA solve+GEMM 23.0 ms; recursion w/o barrier 24.7 ms — XLA fuses or
+# rematerializes the concat tree into consumers; recursion + barrier 9.4 ms).
+_TRI_INV_RECURSION_MIN = 2048
+_TRI_INV_BASE = 640
+
+
+def tri_inverse(L, base=_TRI_INV_BASE):
+    """L⁻¹ for lower-triangular ``L`` (..., N, N) by divide and conquer.
+
+    The identity  [[L11, 0], [L21, L22]]⁻¹ = [[V11, 0], [−V22 L21 V11, V22]]
+    is log-depth with all heavy work in large batched GEMMs — XLA's
+    ``solve_triangular(L, I)`` on TPU runs its sequential panel sweep at a
+    few percent of the MXU rate instead. Callers composing the result into
+    further GEMMs should wrap it in ``jax.lax.optimization_barrier`` (see
+    :func:`_qld_bwd`).
+    """
+    n = L.shape[-1]
+    if n <= base:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+        return jsl.solve_triangular(L, eye, lower=True)
+    h = n // 2
+    V11 = tri_inverse(L[..., :h, :h], base)
+    V22 = tri_inverse(L[..., h:, h:], base)
+    V21 = -(V22 @ (L[..., h:, :h] @ V11))
+    z12 = jnp.zeros(L.shape[:-2] + (h, n - h), dtype=L.dtype)
+    top = jnp.concatenate([V11, z12], axis=-1)
+    bot = jnp.concatenate([V21, V22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def _chol_and_alpha(A, z):
@@ -66,11 +99,15 @@ def _qld_bwd(res, cotangents):
     L, α = res
     g_quad, g_logdet = cotangents
     n = L.shape[-1]
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
-    # A⁻¹ = L⁻ᵀ L⁻¹ via ONE triangular solve + one matmul: triangular solves
-    # are the slow op on TPU (sequential panels), matmuls ride the MXU — this
-    # halves the solve cost vs cho_solve against the identity.
-    Linv = jsl.solve_triangular(L, eye, lower=True)
+    # A⁻¹ = L⁻ᵀ L⁻¹. Large N: recursive GEMM inverse behind an optimization
+    # barrier (2.4× the XLA solve, see module constant above). Small N: one
+    # fused triangular solve (the sequential-panel cost is negligible and the
+    # recursion's concat overhead is not).
+    if n >= _TRI_INV_RECURSION_MIN:
+        Linv = jax.lax.optimization_barrier(tri_inverse(L))
+    else:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+        Linv = jsl.solve_triangular(L, eye, lower=True)
     Ainv = jnp.swapaxes(Linv, -1, -2) @ Linv
     outer = α[..., :, None] * α[..., None, :]
     A_bar = g_logdet[..., None, None] * Ainv - g_quad[..., None, None] * outer

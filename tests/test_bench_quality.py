@@ -27,7 +27,7 @@ N_RESTARTS = 8
 COARSE_ITERS = 32
 MID_ITERS = 16
 POLISH_ITERS = 20
-POLISH_FTOL = 1e-5  # bench.py's BENCH_POLISH_FTOL default
+POLISH_FTOL = 3e-5  # bench.py's BENCH_POLISH_FTOL default
 
 
 def _problem():

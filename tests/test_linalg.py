@@ -1,8 +1,9 @@
-"""Custom-VJP linear-algebra primitives must match plain autodiff exactly.
+"""Unit tests for the custom-VJP linear algebra (ops/linalg.py).
 
-These primitives exist so no gradient path ever differentiates a Cholesky or
-triangular solve (TPU compile-time blowup, see ops/linalg.py); correctness is
-anchored here against the straightforward autodiff implementations at f64.
+The recursive triangular inverse and the barrier-gated backward path only
+activate above _TRI_INV_RECURSION_MIN on the hot path; here they are
+exercised directly (explicit base sizes / monkeypatched threshold) so CPU CI
+covers the code the TPU bench runs.
 """
 
 import numpy as np
@@ -10,226 +11,82 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 
-from gumbi_tpu.ops.linalg import quad_and_logdet, spd_solve
-
-
-def _rand_spd(rng, n):
-    M = rng.normal(size=(n, n))
-    return M @ M.T + n * np.eye(n)
+import gumbi_tpu.ops.linalg as linalg
+from gumbi_tpu.ops.linalg import quad_and_logdet, spd_solve, tri_inverse
 
 
-def _ref_quad_logdet(A, z):
-    L = jnp.linalg.cholesky(A)
-    alpha = jsl.cho_solve((L, True), z)
-    return jnp.sum(z * alpha), 2.0 * jnp.sum(jnp.log(jnp.diag(L)))
+def _spd(n, batch=(), seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=batch + (n, 32)).astype(dtype)
+    K = X @ np.swapaxes(X, -1, -2) / 32 + 2.0 * np.eye(n, dtype=dtype)
+    return jnp.asarray(K)
 
 
-def test_quad_and_logdet_values_and_grads():
-    rng = np.random.default_rng(0)
-    A = jnp.asarray(_rand_spd(rng, 7))
-    z = jnp.asarray(rng.normal(size=7))
-
-    q, ld = quad_and_logdet(A, z)
-    q_ref, ld_ref = _ref_quad_logdet(A, z)
-    assert np.isclose(float(q), float(q_ref), rtol=1e-12)
-    assert np.isclose(float(ld), float(ld_ref), rtol=1e-12)
-
-    # Nontrivial cotangents on both outputs
-    def scal(f):
-        return lambda A, z: 0.7 * f(A, z)[0] - 1.3 * f(A, z)[1]
-
-    gA, gz = jax.grad(scal(quad_and_logdet), argnums=(0, 1))(A, z)
-    gA_ref, gz_ref = jax.grad(scal(_ref_quad_logdet), argnums=(0, 1))(A, z)
-    # Plain autodiff produces an asymmetric ∂/∂A (lower-triangular convention
-    # inside the cholesky VJP); the analytic gradient is the symmetrized one.
-    # Both are valid cotangents for symmetric-by-construction A: compare
-    # symmetrized forms, which is what any upstream K(θ) chain rule consumes.
-    sym = lambda M: 0.5 * (M + M.T)
-    assert np.allclose(np.asarray(sym(gA)), np.asarray(sym(gA_ref)), rtol=1e-9, atol=1e-12)
-    assert np.allclose(np.asarray(gz), np.asarray(gz_ref), rtol=1e-9, atol=1e-12)
+@pytest.mark.parametrize("n,base", [(300, 64), (257, 50), (512, 512)])
+def test_tri_inverse_matches_solve(n, base):
+    L = jnp.linalg.cholesky(_spd(n))
+    V = tri_inverse(L, base=base)
+    np.testing.assert_allclose(
+        np.asarray(V @ L), np.eye(n), rtol=0, atol=1e-9
+    )
 
 
-def test_quad_and_logdet_batched_and_vmap():
-    rng = np.random.default_rng(1)
-    As = jnp.asarray(np.stack([_rand_spd(rng, 5) for _ in range(3)]))
-    zs = jnp.asarray(rng.normal(size=(3, 5)))
-
-    qb, ldb = quad_and_logdet(As, zs)
-    for i in range(3):
-        qi, ldi = quad_and_logdet(As[i], zs[i])
-        assert np.isclose(float(qb[i]), float(qi), rtol=1e-12)
-        assert np.isclose(float(ldb[i]), float(ldi), rtol=1e-12)
-
-    # vmap of grad — the TPU-blocking composition in round 1 — must agree
-    # with per-item grads.
-    f = lambda A, z: quad_and_logdet(A, z)[0] + 2.0 * quad_and_logdet(A, z)[1]
-    gv = jax.vmap(jax.grad(f, argnums=(0, 1)))(As, zs)
-    for i in range(3):
-        gi = jax.grad(f, argnums=(0, 1))(As[i], zs[i])
-        assert np.allclose(np.asarray(gv[0][i]), np.asarray(gi[0]), rtol=1e-9)
-        assert np.allclose(np.asarray(gv[1][i]), np.asarray(gi[1]), rtol=1e-9)
+def test_tri_inverse_batched():
+    L = jnp.linalg.cholesky(_spd(200, batch=(3,)))
+    V = tri_inverse(L, base=64)
+    eye = np.broadcast_to(np.eye(200), (3, 200, 200))
+    np.testing.assert_allclose(np.asarray(V @ L), eye, rtol=0, atol=1e-9)
 
 
-def test_spd_solve_values_and_grads():
-    rng = np.random.default_rng(2)
-    A = jnp.asarray(_rand_spd(rng, 6))
-    B = jnp.asarray(rng.normal(size=(6, 4)))
-    W = jnp.asarray(rng.normal(size=(6, 4)))
+def test_qld_gradient_recursive_path_matches_small_path(monkeypatch):
+    """The barrier-gated recursive backward must produce the same gradients
+    as the plain triangular-solve backward (what CPU-size problems use)."""
+    A = _spd(320, batch=(2,), seed=1)
+    z = jnp.asarray(np.random.default_rng(2).normal(size=(2, 320)))
 
+    def loss(A, z):
+        quad, logdet = quad_and_logdet(A, z)
+        return jnp.sum(0.7 * quad + 1.3 * logdet)
+
+    gA_small, gz_small = jax.grad(loss, argnums=(0, 1))(A, z)
+    monkeypatch.setattr(linalg, "_TRI_INV_RECURSION_MIN", 64)
+    gA_rec, gz_rec = jax.grad(loss, argnums=(0, 1))(A, z)
+    np.testing.assert_allclose(np.asarray(gA_rec), np.asarray(gA_small), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(gz_rec), np.asarray(gz_small), rtol=1e-9)
+
+
+def test_qld_gradient_matches_finite_differences(monkeypatch):
+    monkeypatch.setattr(linalg, "_TRI_INV_RECURSION_MIN", 64)
+    A = _spd(96, seed=3)
+    z = jnp.asarray(np.random.default_rng(4).normal(size=96))
+
+    def loss(A):
+        quad, logdet = quad_and_logdet(A, z)
+        return 0.4 * quad - 0.9 * logdet
+
+    g = jax.grad(loss)(A)
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(96, 96))
+    V = jnp.asarray((V + V.T) / 2)
+    h = 1e-6
+    fd = (float(loss(A + h * V)) - float(loss(A - h * V))) / (2 * h)
+    assert float(jnp.sum(g * V)) == pytest.approx(fd, rel=1e-6)
+
+
+def test_spd_solve_value_and_grad():
+    A = _spd(64, seed=6)
+    B = jnp.asarray(np.random.default_rng(7).normal(size=(64, 3)))
     X = spd_solve(A, B)
-    X_ref = jsl.cho_solve((jnp.linalg.cholesky(A), True), B)
-    assert np.allclose(np.asarray(X), np.asarray(X_ref), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(A @ X), np.asarray(B), atol=1e-9)
 
-    def scal(solver):
-        return lambda A, B: jnp.sum(W * jnp.sin(solver(A, B)))
+    def loss(A, B):
+        return jnp.sum(spd_solve(A, B) ** 2)
 
-    ref_solver = lambda A, B: jsl.cho_solve((jnp.linalg.cholesky(A), True), B)
-    gA, gB = jax.grad(scal(spd_solve), argnums=(0, 1))(A, B)
-    gA_ref, gB_ref = jax.grad(scal(ref_solver), argnums=(0, 1))(A, B)
-    sym = lambda M: 0.5 * (M + M.T)
-    assert np.allclose(np.asarray(sym(gA)), np.asarray(sym(gA_ref)), rtol=1e-8, atol=1e-12)
-    assert np.allclose(np.asarray(gB), np.asarray(gB_ref), rtol=1e-8, atol=1e-12)
-
-
-@pytest.fixture()
-def gp_problem():
-    from gumbi_tpu.ops import CoregTerm, GPSpec, GPTerm
-
-    rng = np.random.default_rng(3)
-    n, d_out = 18, 2
-    Xb = rng.uniform(-2, 2, size=(n, 2))
-    Y = np.stack([np.sin(Xb[:, 0]) + 0.1 * rng.normal(size=n) * (1 + j) for j in range(d_out)], axis=1)
-    out_cg = CoregTerm(name="Parameter", col=0, d_out=d_out)
-    spec = GPSpec(
-        terms=(GPTerm(suffix="total", kernel="ExpQuad", coregs=(out_cg,)),),
-        d_cont=2,
-        ard=True,
-        noise_coreg=CoregTerm(name="Output_noise", col=0, d_out=d_out),
-    )
-    uparams = {
-        "ls_total": jnp.log(jnp.asarray([0.7, 1.1])),
-        "η_total": jnp.log(jnp.asarray(1.3)),
-        "σ": jnp.log(jnp.asarray(0.25)),
-        "W_Parameter": jnp.asarray(rng.normal(size=(d_out, 2)) * 0.7),
-        "κ_Parameter": jnp.log(jnp.asarray([0.4, 0.6])),
-        "W_Output_noise": jnp.asarray(rng.normal(size=(d_out, 2)) * 0.3),
-        "κ_Output_noise": jnp.log(jnp.asarray([0.8, 1.0])),
-    }
-    xc_tall = jnp.asarray(np.vstack([Xb] * d_out))
-    xk_tall = jnp.asarray(np.repeat(np.arange(d_out), n)[:, None].astype(np.int32))
-    y_tall = jnp.asarray(Y.T.reshape(-1))
-    la = jnp.asarray([2.0, 2.0])
-    lb = jnp.asarray([1.0, 1.0])
-    return spec, uparams, jnp.asarray(Xb), jnp.asarray(Y), xc_tall, xk_tall, y_tall, la, lb
-
-
-def test_map_neg_logp_grads_match_plain_autodiff(gp_problem):
-    """End-to-end: hyperparameter grads through the custom-VJP MLL equal the
-    grads of a plain-cholesky-autodiff implementation of the same density."""
-    from gumbi_tpu.ops.kernels import gram, noise_diag
-    from gumbi_tpu.ops.mll import DEFAULT_JITTER, map_neg_logp
-    from gumbi_tpu.ops.priors import constrain, log_prior
-
-    spec, uparams, Xb, Y, xc, xk, y, la, lb = gp_problem
-
-    def plain(uparams):
-        params = constrain(uparams)
-        K = gram(spec, params, xc, xk, xc, xk)
-        d = noise_diag(spec, params, xk, dtype=K.dtype) + DEFAULT_JITTER
-        L = jnp.linalg.cholesky(K + jnp.diag(d))
-        alpha = jsl.solve_triangular(L, y, lower=True)
-        logp = (
-            -0.5 * jnp.sum(alpha**2)
-            - jnp.sum(jnp.log(jnp.diag(L)))
-            - 0.5 * y.shape[0] * jnp.log(2 * jnp.pi)
-        )
-        return -(logp + log_prior(spec, uparams, la, lb))
-
-    custom = lambda u: map_neg_logp(spec, u, xc, xk, y, la, lb)
-    assert np.isclose(float(custom(uparams)), float(plain(uparams)), rtol=1e-11)
-    g_custom = jax.grad(custom)(uparams)
-    g_plain = jax.grad(plain)(uparams)
-    for k in uparams:
-        assert np.allclose(
-            np.asarray(g_custom[k]), np.asarray(g_plain[k]), rtol=1e-7, atol=1e-10
-        ), k
-
-
-def test_kron_neg_logp_grads_match_dense(gp_problem):
-    """Kronecker (batched custom-VJP) grads ≡ dense tall-path grads."""
-    from gumbi_tpu.ops.kronecker import kron_neg_logp
-    from gumbi_tpu.ops.mll import map_neg_logp
-
-    spec, uparams, Xb, Y, xc, xk, y, la, lb = gp_problem
-
-    g_dense = jax.grad(lambda u: map_neg_logp(spec, u, xc, xk, y, la, lb))(uparams)
-    g_kron = jax.grad(lambda u: kron_neg_logp(spec, u, Xb, Y, la, lb))(uparams)
-    for k in uparams:
-        assert np.allclose(
-            np.asarray(g_kron[k]), np.asarray(g_dense[k]), rtol=1e-6, atol=1e-9
-        ), k
-
-
-def test_vmapped_restart_grads(gp_problem):
-    """vmap(value_and_grad) over stacked restarts — the exact composition the
-    multi-restart optimizer now runs on TPU — matches per-restart results."""
-    from gumbi_tpu.ops.kronecker import kron_neg_logp
-
-    spec, uparams, Xb, Y, xc, xk, y, la, lb = gp_problem
-    rng = np.random.default_rng(0)
-    R = 4
-    u0s = {
-        k: jnp.asarray(np.asarray(v)[None] + 0.1 * rng.normal(size=(R,) + np.asarray(v).shape))
-        for k, v in uparams.items()
-    }
-    f = lambda u: kron_neg_logp(spec, u, Xb, Y, la, lb)
-    vals, grads = jax.vmap(jax.value_and_grad(f))(u0s)
-    for i in range(R):
-        ui = {k: v[i] for k, v in u0s.items()}
-        vi, gi = jax.value_and_grad(f)(ui)
-        assert np.isclose(float(vals[i]), float(vi), rtol=1e-10)
-        for k in ui:
-            assert np.allclose(np.asarray(grads[k][i]), np.asarray(gi[k]), rtol=1e-8), k
-
-
-def test_fitc_mll_woodbury_identity():
-    """The solve-based FITC MLL equals the naive dense N(0, Q+Λ) logpdf."""
-    from gumbi_tpu.ops import GPSpec, GPTerm
-    from gumbi_tpu.ops.fitc import _stabilized_kuu, fitc_mll
-    from gumbi_tpu.ops.kernels import gram, gram_diag, noise_diag
-    from gumbi_tpu.ops.mll import DEFAULT_JITTER
-
-    rng = np.random.default_rng(4)
-    n, m = 30, 9
-    spec = GPSpec(terms=(GPTerm(suffix="total", kernel="ExpQuad"),), d_cont=1)
-    params = {"ls_total": jnp.asarray([0.8]), "η_total": jnp.asarray(1.1), "σ": jnp.asarray(0.3)}
-    xc = jnp.asarray(rng.uniform(-2, 2, size=(n, 1)))
-    xk = jnp.zeros((n, 0), dtype=jnp.int32)
-    xu_c = jnp.asarray(np.linspace(-2, 2, m)[:, None])
-    xu_k = jnp.zeros((m, 0), dtype=jnp.int32)
-    y = jnp.asarray(np.sin(np.asarray(xc[:, 0])) + 0.1 * rng.normal(size=n))
-
-    val = float(fitc_mll(spec, params, xc, xk, xu_c, xu_k, y))
-
-    Kuu = np.asarray(_stabilized_kuu(spec, params, xu_c, xu_k, xc.dtype, DEFAULT_JITTER))
-    Kux = np.asarray(gram(spec, params, xu_c, xu_k, xc, xk))
-    Q = Kux.T @ np.linalg.solve(Kuu, Kux)
-    lam = np.maximum(np.asarray(gram_diag(spec, params, xc, xk)) - np.diag(Q), 0.0) + np.asarray(
-        noise_diag(spec, params, xk, dtype=xc.dtype)
-    )
-    cov = Q + np.diag(lam)
-    from scipy.stats import multivariate_normal
-
-    ref = multivariate_normal(mean=np.zeros(n), cov=cov).logpdf(np.asarray(y))
-    assert np.isclose(val, ref, rtol=1e-9)
-
-    # And the gradient path must be finite and vmap-safe
-    def neg(u):
-        p = {k: jnp.exp(v) for k, v in u.items()}
-        return -fitc_mll(spec, p, xc, xk, xu_c, xu_k, y)
-
-    u = {k: jnp.log(v) for k, v in params.items()}
-    g = jax.grad(neg)(u)
-    assert all(np.all(np.isfinite(np.asarray(v))) for v in g.values())
+    gA, gB = jax.grad(loss, argnums=(0, 1))(A, B)
+    rng = np.random.default_rng(8)
+    V = rng.normal(size=A.shape)
+    V = jnp.asarray((V + V.T) / 2)
+    h = 1e-6
+    fd = (float(loss(A + h * V, B)) - float(loss(A - h * V, B))) / (2 * h)
+    assert float(jnp.sum(gA * V)) == pytest.approx(fd, rel=1e-6)
