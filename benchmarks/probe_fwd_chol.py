@@ -30,7 +30,7 @@ from gumbi_tpu.ops.kronecker import kron_neg_logp  # noqa: E402
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 5120
 
 
-def blocked_cholesky(A, b=1024):
+def blocked_cholesky(A, b=1024, barrier_panels=False):
     n = A.shape[-1]
     if n % b or n <= b:
         return jnp.linalg.cholesky(A)
@@ -47,6 +47,9 @@ def blocked_cholesky(A, b=1024):
             Lik = A[..., tr, sl] @ jnp.swapaxes(Lkk_inv, -1, -2)
             L = L.at[..., tr, sl].set(Lik)
             A = A.at[..., tr, tr].add(-(Lik @ jnp.swapaxes(Lik, -1, -2)))
+            if barrier_panels:
+                A = jax.lax.optimization_barrier(A)
+                L = jax.lax.optimization_barrier(L)
     return L
 
 
@@ -81,6 +84,12 @@ def main():
         "blocked": lambda A, z: (
             lambda L: (L, jsl.cho_solve((L, True), z[..., :, None])[..., 0])
         )(blocked_cholesky(A)),
+        "blocked+panelbar": lambda A, z: (
+            lambda L: (L, jsl.cho_solve((L, True), z[..., :, None])[..., 0])
+        )(jax.lax.optimization_barrier(blocked_cholesky(A, barrier_panels=True))),
+        "blocked512+panelbar": lambda A, z: (
+            lambda L: (L, jsl.cho_solve((L, True), z[..., :, None])[..., 0])
+        )(jax.lax.optimization_barrier(blocked_cholesky(A, b=512, barrier_panels=True))),
     }
     for name, fn in variants.items():
         linalg._chol_and_alpha = fn
