@@ -76,7 +76,12 @@ def default_n(n_dev, backend):
         # bigger shards (set BENCH_N=50000 on real multi-chip hardware).
         return 16384
     if backend == "tpu":
-        return 20480  # ~1.7 GB Gram + workspace: largest comfortable 1-chip dense
+        # Largest comfortable 1-chip dense fit through the plain analytic-VJP
+        # path (~8 live N² buffers in the fwd+bwd program; 16384² f32 ≈ 1 GB
+        # each). The shard_map path at n_dev=1 holds far more live
+        # intermediates and OOMs beyond ~8k (measured: 129 GB requested at
+        # N=20480).
+        return 16384
     return 8192
 
 
@@ -129,12 +134,19 @@ def main():
         return jax.tree_util.tree_map(lambda leaf: leaf[best], xs)
 
     # Full-N polish: every MLL evaluation (and its analytic-VJP gradient)
-    # runs the distributed blocked factorization over the 'data' axis.
-    def dist_objective(u):
-        params = constrain(u)
-        logp = sharded_gram_mll(mesh, spec, params, xc, xk, yj)
-        total = logp + log_prior(spec, u, la, lb)
-        return jnp.where(jnp.isfinite(total), -total, jnp.inf)
+    # runs the distributed blocked factorization over the 'data' axis. On a
+    # single device the plain dense objective is the right program — same
+    # math through quad_and_logdet, ~8 live N² buffers instead of the
+    # shard_map path's many (which OOM one chip beyond ~8k points).
+    if n_dev > 1:
+        def dist_objective(u):
+            params = constrain(u)
+            logp = sharded_gram_mll(mesh, spec, params, xc, xk, yj)
+            total = logp + log_prior(spec, u, la, lb)
+            return jnp.where(jnp.isfinite(total), -total, jnp.inf)
+    else:
+        def dist_objective(u):
+            return map_neg_logp(spec, u, xc, xk, yj, la, lb)
 
     @jax.jit
     def polish(u0):
@@ -177,7 +189,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"exact dense {N}-pt GP MAP fit, data-sharded over {n_dev} devices ({backend})",
+                "metric": (
+                    f"exact dense {N}-pt GP MAP fit, data-sharded over {n_dev} devices ({backend})"
+                    if n_dev > 1
+                    else f"exact dense {N}-pt GP MAP fit, single {backend} device"
+                ),
                 "value": round(steady, 3),
                 "unit": "s",
                 "vs_baseline": None,

@@ -78,19 +78,35 @@ def lbfgs_backtracking_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16,
     soon as the objective stops moving (relative decrease < ftol — a
     realistic f32 criterion; gradient-norm tolerances stall at f32 precision).
 
-    ``store_grad=False`` is a measured choice: with the analytic-VJP MLLs the
-    gradient costs ~3× the value (N=5120: 48 ms vs 15 ms), and store_grad=True
-    linearizes the objective at EVERY backtracking trial — 134 ms/iteration
-    observed vs ~80 ms with value-only trials plus one explicit
-    value_and_grad per iteration.
+    ``store_grad=False`` (value-only line-search trials) is a measured
+    choice: with the analytic-VJP MLLs the gradient costs ~3× the value
+    (N=5120: 48 ms vs 15 ms), and store_grad=True linearizes the objective at
+    EVERY backtracking trial — 134 ms/iteration observed vs ~80 ms with
+    value-only trials plus one explicit value_and_grad per iteration.
+
+    Exception: float64 parameters keep ``store_grad=True``. The value-only
+    program miscompiles the TPU backend's emulated-f64 path (XLA memory-space
+    assignment assert → compiler SIGABRT, reproduced deterministically on the
+    2-output cars fit); the trial-wise-linearized program compiles and runs.
+    f64 fits are parity/host paths where compile-safety beats the ~40%
+    per-iteration saving.
     """
+    x64 = any(
+        jnp.result_type(leaf) == jnp.float64
+        for leaf in jax.tree_util.tree_leaves(x0)
+    )
     opt = optax.lbfgs(
         memory_size=memory_size,
         linesearch=optax.scale_by_backtracking_linesearch(
-            max_backtracking_steps=max_backtracking, store_grad=False
+            max_backtracking_steps=max_backtracking, store_grad=x64
         ),
     )
-    value_and_grad = jax.value_and_grad(fun)
+    if x64:
+        vg_state = optax.value_and_grad_from_state(fun)
+        value_and_grad = lambda x, state: vg_state(x, state=state)
+    else:
+        vg_plain = jax.value_and_grad(fun)
+        value_and_grad = lambda x, state: vg_plain(x)
 
     def cond(carry):
         _, _, it, done, _, _, _ = carry
@@ -98,7 +114,7 @@ def lbfgs_backtracking_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16,
 
     def body(carry):
         x, state, it, _, best_x, best_f, v_prev = carry
-        value, grad = value_and_grad(x)
+        value, grad = value_and_grad(x, state)
         updates, state = opt.update(grad, state, x, value=value, grad=grad, value_fn=fun)
         x_new = optax.apply_updates(x, updates)
         finite = jnp.isfinite(value)
