@@ -11,7 +11,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("GUMBI_TPU_X64", "0")  # f32 on accelerators, like bench.py
 
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
@@ -36,9 +36,14 @@ def main():
         df = pd.DataFrame({"x": X, "y": Y})
         ds = gmb.DataSet(df, outputs=["y"], log_vars=["y", "x"])
         gp = gmb.GP(ds)
+        # bucket padding: rounds 1..20 grow the dataset 5→25 points, and the
+        # bucket keeps the fit program's shapes static so the WHOLE campaign
+        # compiles the fit exactly once (the lab-loop feature, GP.fit docs);
+        # the padded proposal baseline does the same for the acquisition.
         gp.fit(
             outputs=["y"],
             continuous_dims=["x"],
+            bucket=32,
             MAP_kwargs=dict(n_restarts=2, maxiter=100),
         )
         cands, _ = gp.propose(q=1, raw_samples=128, num_restarts=4, mc_samples=64)

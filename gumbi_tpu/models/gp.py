@@ -909,9 +909,9 @@ class GP(Regressor):
 
         from ..ops.acquisition import (
             optimize_acqf,
+            optimize_qlog_nei,
             qlog_nehvi_2d,
             qlog_nehvi_mc,
-            qlog_nei,
             sobol_normal,
             sobol_uniform,
         )
@@ -952,6 +952,15 @@ class GP(Regressor):
         if base_locs.shape[0] > max_baseline:
             idx = rng.choice(base_locs.shape[0], max_baseline, replace=False)
             base_locs = base_locs[idx]
+        elif base_locs.shape[0] < max_baseline:
+            # Pad to the static ``max_baseline`` size by repeating rows:
+            # duplicate baseline points change neither qLogNEI's incumbent
+            # max nor qNEHVI's dominance structure (exact padding), and the
+            # fixed shape lets a growing lab-loop dataset reuse ONE compiled
+            # acquisition program across rounds instead of recompiling at
+            # every new baseline size.
+            reps = -(-max_baseline // base_locs.shape[0])
+            base_locs = np.tile(base_locs, (reps, 1))[:max_baseline]
         nb = base_locs.shape[0]
         xc_base = jnp.asarray(base_locs, dtype=self._dtype)
 
@@ -979,11 +988,30 @@ class GP(Regressor):
                 xk_c = cat_cols(q_now, 0)
                 xk_b = cat_cols(nb_now, 0)
 
-                def acq(Xc):
-                    return qlog_nei(
-                        self._spec, self._params, self._ensure_dense_cache(),
-                        Xc, xk_c, xc_b, xk_b, base_samples, maximize=maximize,
-                    )
+                # Module-level jitted path: with stable shapes (bucketed fit
+                # + padded baseline) a fit→propose→refit campaign traces and
+                # compiles the acquisition program once, across GP instances.
+                raw = sobol_uniform(raw_samples * q_now, len(lo), seed=seed).reshape(
+                    raw_samples, q_now, len(lo)
+                )
+                lo_j = jnp.asarray(lo, dtype=self._dtype)
+                hi_j = jnp.asarray(hi, dtype=self._dtype)
+                X_raw = jnp.asarray(raw, dtype=self._dtype) * (hi_j - lo_j) + lo_j
+                return optimize_qlog_nei(
+                    self._spec,
+                    self._params,
+                    self._ensure_dense_cache(),
+                    xk_c,
+                    xc_b,
+                    xk_b,
+                    base_samples,
+                    X_raw,
+                    lo_j,
+                    hi_j,
+                    num_restarts=num_restarts,
+                    maximize=maximize,
+                    **optim_kwargs,
+                )
             else:
                 # Each location contributes one row per output (output-major)
                 P = d_out * (q_now + nb_now)

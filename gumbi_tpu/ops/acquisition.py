@@ -11,6 +11,8 @@ jit-compiled end to end.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 from scipy.stats import norm as _scipy_norm
 from scipy.stats import qmc as _scipy_qmc
@@ -33,6 +35,7 @@ __all__ = [
     "qlog_nehvi_mc",
     "hv_dominated_mc",
     "optimize_acqf",
+    "optimize_qlog_nei",
 ]
 
 
@@ -313,6 +316,54 @@ def optimize_acqf(
 
     def neg_acq_u(u):
         return -acq_fn(_to_box(u, lo, hi))
+
+    u0s = _from_box(X0, lo, hi)
+    u_best, f_best, _ = multi_restart_minimize(neg_acq_u, u0s, maxiter=maxiter)
+    return _to_box(u_best, lo, hi), -f_best
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("num_restarts", "maxiter", "maximize"),
+)
+def optimize_qlog_nei(
+    spec,
+    params,
+    cache,
+    xk_cand,
+    xc_base,
+    xk_base,
+    base_samples,
+    X_raw,
+    lo,
+    hi,
+    num_restarts=10,
+    maxiter=100,
+    maximize=True,
+):
+    """Jitted qLogNEI maximization — the lab-loop fast path.
+
+    Unlike :func:`optimize_acqf` (which closes over a per-call ``acq_fn`` and
+    therefore retraces and recompiles at EVERY ``propose``), this module-level
+    jit takes model state (params, posterior cache) and the Sobol raw starts
+    as ARGUMENTS: a fit→propose→refit campaign with stable shapes (bucketed
+    fit + padded baseline) compiles the acquisition program exactly once.
+    Measured on the 20-round BO bench: 1006 s → the per-round cost drops to
+    dispatch + runtime after round 1.
+    """
+    def acq(Xc):
+        return qlog_nei(
+            spec, params, cache, Xc, xk_cand, xc_base, xk_base, base_samples,
+            maximize=maximize,
+        )
+
+    raw_vals = jax.lax.map(acq, X_raw)
+    top = jnp.argsort(-raw_vals)[:num_restarts]
+    X0 = X_raw[top]  # (R, q, d)
+
+    def neg_acq_u(u):
+        return -acq(_to_box(u, lo, hi))
 
     u0s = _from_box(X0, lo, hi)
     u_best, f_best, _ = multi_restart_minimize(neg_acq_u, u0s, maxiter=maxiter)
