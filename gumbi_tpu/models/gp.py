@@ -173,17 +173,22 @@ class GP(Regressor):
         """Split a tall dims-ordered matrix into continuous (float) and
         categorical (int index) blocks, remapping coords to 0..d_out-1."""
         d_cont = len(self.continuous_dims)
-        xc = jnp.asarray(X[:, :d_cont], dtype=self._dtype)
+        # dtype conversion happens in HOST numpy: jnp.asarray(..., dtype=)
+        # on a mismatched-dtype array dispatches an eager convert_element_type
+        # whose compile (~0.4 s via the remote TPU compiler) recurs at every
+        # new data size in a lab loop. np.asarray + device_put compiles nothing.
+        np_dtype = np.dtype(jnp.dtype(self._dtype).name)
+        xc = jnp.asarray(np.asarray(X[:, :d_cont], dtype=np_dtype))
         cat_cols = []
         for j, dim in enumerate(self.categorical_dims):
             raw = np.asarray(X[:, d_cont + j], dtype=float)
             sorted_coords = self._cat_maps[dim]
             idx = np.searchsorted(sorted_coords, np.round(raw, 9))
             cat_cols.append(idx)
-        xk = (
-            jnp.asarray(np.column_stack(cat_cols), dtype=jnp.int32)
+        xk = jnp.asarray(
+            np.column_stack(cat_cols).astype(np.int32)
             if cat_cols
-            else jnp.zeros((X.shape[0], 0), dtype=jnp.int32)
+            else np.zeros((X.shape[0], 0), dtype=np.int32)
         )
         return xc, xk
 
@@ -360,9 +365,11 @@ class GP(Regressor):
         )
         self.model = self._spec
 
-        # Engine data
+        # Engine data (host-side dtype conversion — see _split_X)
         self._xc, self._xk = self._split_X(X)
-        self._yz = jnp.asarray(y, dtype=self._dtype)
+        self._yz = jnp.asarray(
+            np.asarray(y, dtype=np.dtype(jnp.dtype(self._dtype).name))
+        )
 
         # Structure selection: Kronecker fast path when all outputs share the
         # same locations and the only categorical factor is the output column.
@@ -451,21 +458,38 @@ class GP(Regressor):
             )
 
         # Bucket padding: static shapes across growing datasets (exact MLL
-        # via masked identity rows; see ops/mll.cholesky_factor).
+        # via masked identity rows; see ops/mll.cholesky_factor). Padding
+        # happens in HOST numpy: eager jnp.concatenate at a data-dependent
+        # shape compiles a fresh tiny program at EVERY lab-loop round
+        # (~0.37 s each through the remote TPU compiler — measured 4 s/round
+        # of pure build_model overhead); np.concatenate + one device_put
+        # compiles nothing.
         self._mask = None
         if bucket:
             n = int(self._xc.shape[0])
             n_pad = (-n) % int(bucket)
+            np_dtype = np.dtype(jnp.dtype(self._dtype).name)
             if n_pad:
-                self._xc = jnp.concatenate(
-                    [self._xc, jnp.zeros((n_pad, self._xc.shape[1]), dtype=self._dtype)]
+                xc_np = np.asarray(self._xc)
+                xk_np = np.asarray(self._xk)
+                yz_np = np.asarray(self._yz)
+                self._xc = jnp.asarray(
+                    np.concatenate(
+                        [xc_np, np.zeros((n_pad, xc_np.shape[1]), dtype=np_dtype)]
+                    )
                 )
-                self._xk = jnp.concatenate(
-                    [self._xk, jnp.zeros((n_pad, self._xk.shape[1]), dtype=jnp.int32)]
+                self._xk = jnp.asarray(
+                    np.concatenate(
+                        [xk_np, np.zeros((n_pad, xk_np.shape[1]), dtype=np.int32)]
+                    )
                 )
-                self._yz = jnp.concatenate([self._yz, jnp.zeros(n_pad, dtype=self._dtype)])
-            self._mask = jnp.concatenate(
-                [jnp.ones(n, dtype=self._dtype), jnp.zeros(n_pad, dtype=self._dtype)]
+                self._yz = jnp.asarray(
+                    np.concatenate([yz_np, np.zeros(n_pad, dtype=np_dtype)])
+                )
+            self._mask = jnp.asarray(
+                np.concatenate(
+                    [np.ones(n, dtype=np_dtype), np.zeros(n_pad, dtype=np_dtype)]
+                )
             )
 
         # Lengthscale priors from pairwise distances of the continuous block
