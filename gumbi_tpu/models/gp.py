@@ -612,18 +612,17 @@ class GP(Regressor):
             self._cache = None
             return self.MAP
         elif self._structure == "Kronecker":
-            from ..ops.kronecker import kron_cache, kron_neg_logp
-            from ..ops.optimize import multi_restart_minimize
+            from ..ops.kronecker import kron_cache
+            from ..ops.optimize import fit_kron_map
             from ..ops.priors import constrain
 
-            def objective(uparams):
-                return kron_neg_logp(
-                    self._spec, uparams, self._xc_locs, self._Y, ls_alpha, ls_beta
-                )
-
-            u_best, neg_logp, aux = jax.jit(
-                lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
-            )(u0s)
+            # Module-level jitted fit: repeated Kronecker fits (lab loops,
+            # cross-validation) reuse one compiled program per (spec, shape)
+            # instead of retracing through a fresh jax.jit(lambda) each call.
+            u_best, neg_logp, aux = fit_kron_map(
+                self._spec, self._xc_locs, self._Y, ls_alpha, ls_beta, u0s,
+                maxiter=maxiter, tol=tol,
+            )
             params = constrain(u_best)
             self._kron_cache = kron_cache(self._spec, params, self._xc_locs, self._Y)
             self._cache = None

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from ..ops import initial_params
 from ..ops.kernels import CONTINUOUS_KERNELS
 from ..ops.laplace import laplace_neg_logp, laplace_predict
-from ..ops.optimize import multi_restart_minimize
 from ..utils import assert_in
 from .gp import GP
 
@@ -102,20 +101,18 @@ class GPC(GP):
         ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
         ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
 
-        def objective(uparams):
-            return laplace_neg_logp(
-                self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta
-            )
-
-        import jax
-
         # laplace_mll ships the exact analytic gradient at the mode as a
         # custom VJP (GPML eqs. 5.21-5.24, ops/laplace.py), so gradients
         # never differentiate through the inner Newton loop's Cholesky and
         # restarts use the same per-backend default mode as the regressor.
-        u_best, f_best, aux = jax.jit(
-            lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
-        )(u0s)
+        # fit_laplace_map is a module-level jit: repeated classifier fits
+        # reuse one compiled program per (spec, shapes).
+        from ..ops.optimize import fit_laplace_map
+
+        u_best, f_best, aux = fit_laplace_map(
+            self._spec, self._xc, self._xk, self._yz, ls_alpha, ls_beta, u0s,
+            maxiter=maxiter, tol=tol,
+        )
         from ..ops.priors import constrain
 
         self._params = constrain(u_best)

@@ -19,7 +19,13 @@ from .kernels import GPSpec
 from .mll import DEFAULT_JITTER, map_neg_logp
 from .priors import constrain
 
-__all__ = ["lbfgs_minimize", "multi_restart_minimize", "fit_gp_map"]
+__all__ = [
+    "lbfgs_minimize",
+    "multi_restart_minimize",
+    "fit_gp_map",
+    "fit_kron_map",
+    "fit_laplace_map",
+]
 
 
 def _global_norm(tree):
@@ -241,6 +247,39 @@ def multi_restart_minimize(fun, x0s, maxiter=250, tol=1e-6, chunk=None, mode=Non
     best = jnp.argmin(fs_safe)
     x_best = jax.tree_util.tree_map(lambda leaf: leaf[best], xs)
     return x_best, fs_safe[best], {"all_values": fs, "iters": its, "best_restart": best}
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter", "tol"))
+def fit_kron_map(spec: GPSpec, xc_locs, Y, ls_alpha, ls_beta, u0s, maxiter=250, tol=1e-6):
+    """MAP-fit the Kronecker-structured LMC by multi-restart L-BFGS.
+
+    Module-level jit (not a per-call ``jax.jit(lambda ...)``) so repeated
+    fits — cross-validation, lab loops — trace and compile once per
+    (spec, shapes) instead of on every call.
+    """
+    from .kronecker import kron_neg_logp
+
+    def objective(uparams):
+        return kron_neg_logp(spec, uparams, xc_locs, Y, ls_alpha, ls_beta)
+
+    u_best, f_best, aux = multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+    return u_best, f_best, aux
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter", "tol"))
+def fit_laplace_map(spec: GPSpec, xc, xk, y, ls_alpha, ls_beta, u0s, maxiter=300, tol=1e-6):
+    """MAP-fit classifier hyperparameters on the Laplace marginal likelihood.
+
+    Same module-level-jit rationale as :func:`fit_kron_map`; the gradient
+    never differentiates the inner Newton loop (ops/laplace.py custom VJP).
+    """
+    from .laplace import laplace_neg_logp
+
+    def objective(uparams):
+        return laplace_neg_logp(spec, uparams, xc, xk, y, ls_alpha, ls_beta)
+
+    u_best, f_best, aux = multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+    return u_best, f_best, aux
 
 
 @partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter", "restart_chunk"))
