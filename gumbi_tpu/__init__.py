@@ -21,11 +21,12 @@ if os.environ.get("GUMBI_TPU_X64", "1") != "0":
 # L-BFGS, Kronecker MLL, posterior caches) take minutes to compile cold on
 # TPU; caching them makes every process after the first start warm. The
 # JAX_COMPILATION_CACHE_DIR *env var* is not read by this toolchain — only
-# the config API enables the cache — so wire it here. Opt out with
-# GUMBI_TPU_CACHE_DIR="".
-_cache_dir = os.environ.get(
-    "GUMBI_TPU_CACHE_DIR", os.path.expanduser("~/.cache/jax")
-)
+# the config API enables the cache — so wire it here. Defers to any cache
+# dir an embedding application configured before import; opt out entirely
+# with GUMBI_TPU_CACHE_DIR="".
+_cache_dir = os.environ.get("GUMBI_TPU_CACHE_DIR")
+if _cache_dir is None and getattr(_jax.config, "jax_compilation_cache_dir", None) is None:
+    _cache_dir = os.path.expanduser("~/.cache/jax")
 if _cache_dir:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
 

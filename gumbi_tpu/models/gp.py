@@ -966,22 +966,34 @@ class GP(Regressor):
                 else:  # (d, 2)
                     lo, hi = b[:, 0], b[:, 1]
 
-        # Baseline: subsample training locations (pruning analog)
+        # Baseline: subsample training locations (pruning analog). Bucketed
+        # fits carry masked phantom zero-rows at the tail of self._xc; those
+        # must never enter the acquisition baseline (they would act as fake
+        # observations at the origin and make the joint covariance
+        # near-singular), so slice to the real rows first.
         rng = np.random.default_rng(seed)
+        n_real = int(np.asarray(self._mask).sum()) if self._mask is not None else xc_train.shape[0]
         if d_out == 1:
-            base_locs = xc_train
+            base_locs = xc_train[:n_real]
         else:
-            base_locs = xc_train[: xc_train.shape[0] // d_out]
+            # Tall layout is output-major: the first n_real/d_out rows are
+            # the shared locations of output 0.
+            base_locs = xc_train[: n_real // d_out]
         if base_locs.shape[0] > max_baseline:
             idx = rng.choice(base_locs.shape[0], max_baseline, replace=False)
             base_locs = base_locs[idx]
         elif base_locs.shape[0] < max_baseline:
-            # Pad to the static ``max_baseline`` size by repeating rows:
-            # duplicate baseline points change neither qLogNEI's incumbent
-            # max nor qNEHVI's dominance structure (exact padding), and the
-            # fixed shape lets a growing lab-loop dataset reuse ONE compiled
-            # acquisition program across rounds instead of recompiling at
-            # every new baseline size.
+            # Pad to the static ``max_baseline`` size by repeating rows. For
+            # the hard-indicator qNEHVI paths duplicates are exactly neutral
+            # (dominance structure is unchanged); for qLogNEI's smoothed max
+            # (τ·logsumexp) tiling shifts the incumbent by ~τ·log(reps) and
+            # truncated tiling weights some rows more than others — a
+            # candidate-independent offset, so the *ranking* of candidates is
+            # preserved in practice (pinned by
+            # test_bo.py::test_qlog_nei_invariant_to_duplicated_baseline).
+            # The fixed shape lets a growing lab-loop dataset reuse ONE
+            # compiled acquisition program across rounds instead of
+            # recompiling at every new baseline size.
             reps = -(-max_baseline // base_locs.shape[0])
             base_locs = np.tile(base_locs, (reps, 1))[:max_baseline]
         nb = base_locs.shape[0]

@@ -3,8 +3,10 @@
 The hot path is the N×N Gram assembly + Cholesky factorization; both run as
 single fused XLA computations (MXU matmuls for the distance matrices, XLA's
 blocked TPU Cholesky), with a Pallas fast path for large N supplied by
-``gumbi_tpu.ops.pallas_kernels``. Gradients of the MLL come from JAX autodiff
-— no hand-derived gradients to keep in sync.
+``gumbi_tpu.ops.pallas_kernels``. Gradients of the MLL flow through the
+hand-derived custom-VJP primitives in ``ops/linalg.py`` (∂logp/∂K =
+½(ααᵀ − K⁻¹)) — the Cholesky itself is never differentiated, which keeps
+vmapped multi-restart compilation tractable on TPU.
 
 Replaces the reference's PyTensor-compiled ``gp.marginal_likelihood`` +
 ``pm.find_MAP`` machinery (reference gumbi/regression/pymc/GP.py:554-583,
