@@ -26,7 +26,14 @@ import os
 import sys
 import time
 
-os.environ.setdefault("GUMBI_TPU_X64", "0")
+# BASELINE config 4 letter: "vmapped 32-restart hyperparameter optimization,
+# float64 Cholesky". BENCH_DTYPE=float64 runs the whole path (data, Gram,
+# blocked Cholesky, analytic VJP — all dtype-generic) in f64; restarts via
+# BENCH_RESTARTS. BENCH_FACT_ONLY=1 skips the fit and times just the
+# factorization-bound value+grad (the f64-at-scale demonstration, where a
+# full f64 fit would be prohibitive on emulated-f64 hardware or 1 CPU core).
+_dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+os.environ.setdefault("GUMBI_TPU_X64", "1" if _dtype_name == "float64" else "0")
 
 # Allow forcing the virtual mesh BEFORE jax initializes (mirrors
 # __graft_entry__.dryrun_multichip's self-configuration: the axon TPU plugin
@@ -65,7 +72,9 @@ N_RESTARTS = int(os.environ.get("BENCH_RESTARTS", 8))
 COARSE_N = int(os.environ.get("BENCH_COARSE_N", 1024))
 COARSE_ITERS = int(os.environ.get("BENCH_COARSE_ITERS", 32))
 POLISH_ITERS = int(os.environ.get("BENCH_POLISH_ITERS", 12))
-DTYPE = jnp.float32
+FACT_ONLY = os.environ.get("BENCH_FACT_ONLY", "0") == "1"
+DTYPE = jnp.float64 if _dtype_name == "float64" else jnp.float32
+NP_DTYPE = np.float64 if _dtype_name == "float64" else np.float32
 
 
 def default_n(n_dev, backend):
@@ -92,9 +101,9 @@ def main():
     mesh = Mesh(np.array(jax.devices()), ("data",))
 
     rng = np.random.default_rng(0)
-    X = rng.uniform(-2, 2, size=(N, 2)).astype(np.float32)
+    X = rng.uniform(-2, 2, size=(N, 2)).astype(NP_DTYPE)
     y = (np.sin(1.3 * X[:, 0]) * np.cos(0.9 * X[:, 1]) + rng.normal(0, 0.1, N)).astype(
-        np.float32
+        NP_DTYPE
     )
     spec = GPSpec(terms=(GPTerm(suffix="total", kernel="ExpQuad"),), d_cont=2, ard=True)
 
@@ -117,6 +126,61 @@ def main():
         f"Gram {N*N*4/1e9:.1f} GB total / {N*N*4/n_dev/1e9:.2f} GB per device",
         file=sys.stderr,
     )
+
+    if FACT_ONLY:
+        # f64-at-scale demonstration: one factorization-bound value+grad of
+        # the (distributed when n_dev>1) MLL, no fit. Records runtime +
+        # internal-consistency accuracy (quad/logdet vs a numpy f64 oracle at
+        # a subsampled size is covered by tests/test_parity.py; here the
+        # check is finiteness + grad norms).
+        if n_dev > 1:
+            def objective(u):
+                params = constrain(u)
+                logp = sharded_gram_mll(mesh, spec, params, xc, xk, yj)
+                total = logp + log_prior(spec, u, la, lb)
+                return jnp.where(jnp.isfinite(total), -total, jnp.inf)
+        else:
+            def objective(u):
+                return map_neg_logp(spec, u, xc, xk, yj, la, lb)
+
+        u0 = jax.tree_util.tree_map(lambda a: a[0], u0s)
+        vg = jax.jit(jax.value_and_grad(objective))
+        t0 = time.time()
+        v, g = vg(u0)
+        v = float(v)
+        compile_s = time.time() - t0
+        t0 = time.perf_counter()
+        v, g = vg(u0)
+        v = float(v)
+        per_vg = time.perf_counter() - t0
+        gnorm = float(
+            jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(g)))
+        )
+        assert np.isfinite(v) and np.isfinite(gnorm), "f64 factorization not finite"
+        chol_flops = N**3 / 3
+        print(
+            f"[dense] FACT_ONLY {_dtype_name}: value+grad {per_vg:.2f}s "
+            f"(compile+first {compile_s:.1f}s), neg_logp={v:.2f}, |grad|={gnorm:.3f}, "
+            f"{chol_flops/per_vg/1e9:.0f} GFLOP/s factorization lower bound",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"exact dense {N}-pt {_dtype_name} MLL value+grad "
+                        f"({'data-sharded ' + str(n_dev) + ' devices' if n_dev > 1 else 'single device'}, {backend})"
+                    ),
+                    "value": round(per_vg, 3),
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "dtype": _dtype_name,
+                    "compile_s": round(compile_s, 1),
+                    "neg_logp": round(v, 3),
+                }
+            )
+        )
+        return
 
     # Coarse basin search on a subsample (single-device objective — tiny)
     subi = np.sort(rng.choice(N, min(COARSE_N, N), replace=False))
@@ -190,13 +254,20 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"exact dense {N}-pt GP MAP fit, data-sharded over {n_dev} devices ({backend})"
-                    if n_dev > 1
-                    else f"exact dense {N}-pt GP MAP fit, single {backend} device"
+                    f"exact dense {N}-pt {_dtype_name} GP MAP fit ({N_RESTARTS} restarts), "
+                    + (
+                        f"data-sharded over {n_dev} devices ({backend})"
+                        if n_dev > 1
+                        else f"single {backend} device"
+                    )
                 ),
                 "value": round(steady, 3),
                 "unit": "s",
                 "vs_baseline": None,
+                "dtype": _dtype_name,
+                "restarts": N_RESTARTS,
+                "per_mll_grad_ms": round(per_mll * 1e3, 1),
+                "compile_s": round(compile_and_run, 1),
             }
         )
     )

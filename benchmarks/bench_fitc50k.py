@@ -13,7 +13,10 @@ import os
 import sys
 import time
 
-os.environ.setdefault("GUMBI_TPU_X64", "0")
+# BENCH_DTYPE=float64 runs the full FITC path in f64 (BASELINE config 4's
+# dtype letter); BENCH_FITC_RESTARTS=32 its restart letter.
+_dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+os.environ.setdefault("GUMBI_TPU_X64", "1" if _dtype_name == "float64" else "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 import numpy as np  # noqa: E402
@@ -32,14 +35,15 @@ N = int(os.environ.get("BENCH_FITC_N", 50_000))
 N_U = int(os.environ.get("BENCH_FITC_NU", 512))
 N_RESTARTS = int(os.environ.get("BENCH_FITC_RESTARTS", 8))
 MAXITER = int(os.environ.get("BENCH_FITC_MAXITER", 60))
-DTYPE = jnp.float32
+DTYPE = jnp.float64 if _dtype_name == "float64" else jnp.float32
+NP_DTYPE = np.float64 if _dtype_name == "float64" else np.float32
 
 
 def main():
     rng = np.random.default_rng(0)
-    X = rng.uniform(-2, 2, size=(N, 2)).astype(np.float32)
+    X = rng.uniform(-2, 2, size=(N, 2)).astype(NP_DTYPE)
     y = (np.sin(1.3 * X[:, 0]) * np.cos(0.9 * X[:, 1]) + rng.normal(0, 0.1, N)).astype(
-        np.float32
+        NP_DTYPE
     )
 
     spec = GPSpec(terms=(GPTerm(suffix="total", kernel="ExpQuad"),), d_cont=2, ard=True)
@@ -66,7 +70,7 @@ def main():
     lb = jnp.asarray(lb_np, dtype=DTYPE)
     u0s = initial_params(spec, la_np, lb_np, n_restarts=N_RESTARTS, seed=0, dtype=DTYPE)
 
-    g = np.linspace(-2, 2, 200).astype(np.float32)
+    g = np.linspace(-2, 2, 200).astype(NP_DTYPE)
     xc_new = jnp.asarray(np.column_stack([g, np.zeros_like(g)]))
     xk_new = jnp.zeros((200, 0), dtype=jnp.int32)
 
@@ -85,7 +89,8 @@ def main():
 
     t0 = time.time()
     f, mean, var = fit_predict()
-    print(f"[fitc50k] compile+first {time.time()-t0:.1f}s neg_logp={f:.1f}", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"[fitc50k] compile+first {compile_s:.1f}s neg_logp={f:.1f}", file=sys.stderr)
 
     t0 = time.time()
     f, mean, var = fit_predict()
@@ -100,10 +105,14 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"FITC fit+predict {N}-pt GP ({N_U} inducing, {N_RESTARTS} restarts, 1 chip f32)",
+                "metric": f"FITC fit+predict {N}-pt GP ({N_U} inducing, {N_RESTARTS} restarts, 1 chip {_dtype_name})",
                 "value": round(steady, 2),
                 "unit": "s",
                 "vs_baseline": None,
+                "dtype": _dtype_name,
+                "restarts": N_RESTARTS,
+                "compile_s": round(compile_s, 1),
+                "grid_rmse": round(rmse, 4),
             }
         )
     )

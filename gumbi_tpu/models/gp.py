@@ -527,15 +527,23 @@ class GP(Regressor):
             "likelihoods). For latent models with non-Gaussian likelihoods use GPC."
         )
 
-    def find_MAP(self, n_restarts=8, maxiter=500, tol=1e-8, seed=None, mesh=None, **kwargs):
+    def find_MAP(
+        self, n_restarts=8, maxiter=500, tol=1e-8, seed=None, mesh=None,
+        shard_data=False, **kwargs
+    ):
         """Learn MAP hyperparameters by multi-restart L-BFGS on device.
 
         Restart 0 starts from the prior moments (the PyMC starting point);
         the rest jitter in unconstrained space. The best finite optimum wins.
+
         Passing a :class:`jax.sharding.Mesh` (e.g. from
         :func:`gumbi_tpu.parallel.make_mesh`) shards the restart batch over
         its 'restart'/'data' axes — one fit program, restarts in parallel
-        across chips.
+        across chips — for the dense Hadamard, Kronecker, and Independent
+        structures. With ``shard_data=True`` (dense Hadamard only) the N-axis
+        itself shards instead: Gram assembly AND the blocked Cholesky
+        distribute over the 'data' axis with O(N²/P) per-device memory
+        (:mod:`gumbi_tpu.parallel.blocked`) — the exact-dense large-N path.
         """
         assert self._spec is not None, "Call build_model first"
         seed = self.seed if seed is None else seed
@@ -548,23 +556,81 @@ class GP(Regressor):
         ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
 
         if mesh is not None:
-            if self.sparse or self._structure != "Hadamard":
+            if self.sparse:
                 raise NotImplementedError(
-                    "Mesh-sharded fitting currently supports the dense Hadamard path."
+                    "Mesh-sharded fitting is not implemented for the sparse FITC path "
+                    "(FITC exists to make one chip sufficient; use shard_data=True "
+                    "for exact large-N fits instead)."
                 )
-            from ..parallel import sharded_fit_gp_map
+            if self._structure == "Kronecker":
+                from ..ops.kronecker import kron_cache
+                from ..parallel import sharded_fit_kron_map
 
-            params, neg_logp, aux = sharded_fit_gp_map(
-                mesh, self._spec, self._xc, self._xk, self._yz,
-                ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol,
-            )
+                params, neg_logp, aux = sharded_fit_kron_map(
+                    mesh, self._spec, self._xc_locs, self._Y,
+                    ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol,
+                )
+                self._kron_cache = kron_cache(self._spec, params, self._xc_locs, self._Y)
+                self._cache = None
+            elif self._structure == "Independent":
+                from ..parallel import sharded_fit_gp_map
+
+                self._ind_params = []
+                self._ind_caches = []
+                neg_logp = 0.0
+                aux = {}
+                for j, (xc_j, xk_j, y_j) in enumerate(self._ind_data):
+                    u0s_j = initial_params(
+                        self._spec, self._ls_alpha, self._ls_beta,
+                        n_restarts=n_restarts, seed=seed + j, dtype=self._dtype,
+                    )
+                    p_j, neg_j, aux_j = sharded_fit_gp_map(
+                        mesh, self._spec, xc_j, xk_j, y_j,
+                        ls_alpha, ls_beta, u0s_j, maxiter=maxiter, tol=tol,
+                    )
+                    self._ind_params.append(p_j)
+                    self._ind_caches.append(posterior_cache(self._spec, p_j, xc_j, xk_j, y_j))
+                    neg_logp += float(neg_j)
+                    aux[f"output_{j}"] = {k: np.asarray(v) for k, v in aux_j.items()}
+                self._params = self._ind_params[0]
+                self._neg_logp = neg_logp
+                self._fit_aux = aux
+                self.MAP = {
+                    out: {k: np.asarray(v) for k, v in p.items()}
+                    for out, p in zip(self.outputs, self._ind_params)
+                }
+                self._cache = None
+                return self.MAP
+            elif shard_data:
+                if self._mask is not None:
+                    raise NotImplementedError(
+                        "shard_data does not compose with bucket padding (the sharded "
+                        "Gram pads to the mesh extent itself)."
+                    )
+                from ..parallel import data_sharded_fit_gp_map
+
+                params, neg_logp, aux = data_sharded_fit_gp_map(
+                    mesh, self._spec, self._xc, self._xk, self._yz,
+                    ls_alpha, ls_beta, u0s, maxiter=maxiter,
+                )
+                # No eager posterior cache: the point of the data-sharded fit
+                # is that one device never holds the N×N factorization.
+                # Prediction builds it lazily (or shards it via predict(mesh=)).
+                self._cache = None
+            else:
+                from ..parallel import sharded_fit_gp_map
+
+                params, neg_logp, aux = sharded_fit_gp_map(
+                    mesh, self._spec, self._xc, self._xk, self._yz,
+                    ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol,
+                )
+                self._cache = posterior_cache(
+                    self._spec, params, self._xc, self._xk, self._yz, mask=self._mask
+                )
             self._params = params
             self._neg_logp = float(neg_logp)
             self._fit_aux = {k: np.asarray(v) for k, v in aux.items()}
             self.MAP = {k: np.asarray(v) for k, v in params.items()}
-            self._cache = posterior_cache(
-                self._spec, self._params, self._xc, self._xk, self._yz, mask=self._mask
-            )
             return self.MAP
 
         if self.sparse:
@@ -700,7 +766,7 @@ class GP(Regressor):
             from ..ops.posterior import predict_diag_chunked
 
             mean, var = predict_diag_chunked(
-                self._spec, self._params, self._cache, xc, xk,
+                self._spec, self._params, self._ensure_dense_cache(), xc, xk,
                 with_noise=with_noise, chunk=8192,
             )
         return np.asarray(mean), np.asarray(var)

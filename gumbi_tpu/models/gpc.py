@@ -130,18 +130,28 @@ class GPC(GP):
         seed=None,
         n_leapfrog=32,
         target_accept=0.8,
+        latent=False,
+        ess_sweeps=4,
         **kwargs,
     ):
-        """HMC over hyperparameters under the Laplace-approximate marginal.
+        """Sample the classifier posterior.
 
-        The reference ran joint NUTS over hyperparameters *and* thousands of
-        latent values (extras.py:36-43); marginalizing the latents with the
-        Laplace approximation gives a low-dimensional, well-conditioned target
-        the sampler traverses in one jitted program.
+        Two modes, both single-XLA-program on device:
+
+        * ``latent=False`` (default): HMC over hyperparameters under the
+          Laplace-approximate marginal — a low-dimensional, well-conditioned
+          target.
+        * ``latent=True``: full-Bayes over the *joint* (latent field,
+          hyperparameter) posterior — the reference's semantics (joint NUTS,
+          extras.py:36-43) — via elliptical slice sampling on whitened
+          latents composed with adaptive random-walk Metropolis on the
+          hyperparameters (:mod:`gumbi_tpu.ops.ess`). The trace additionally
+          carries ``_latent_f`` (chains, draws, N) latent function draws at
+          the training points, which :meth:`predict_proba` integrates over
+          when passed as ``source``.
         """
         import jax
 
-        from ..ops.hmc import hmc_sample
         from ..ops.priors import constrain, unconstrain
 
         assert self._spec is not None, "Call build_model first"
@@ -149,16 +159,32 @@ class GPC(GP):
         ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
         ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
 
-        def logp(uparams):
-            return -laplace_neg_logp(
-                self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta
-            )
-
         if self._params is not None:
             q0 = unconstrain(self._params)
         else:
             u0s = initial_params(self._spec, self._ls_alpha, self._ls_beta, 1, seed, dtype=self._dtype)
             q0 = {k: v[0] for k, v in u0s.items()}
+
+        if latent:
+            from ..ops.ess import ess_gpc_sample
+
+            usamples, f_draws, stats = ess_gpc_sample(
+                self._spec, q0, self._xc, self._xk, self._yz,
+                ls_alpha, ls_beta, jax.random.PRNGKey(seed),
+                draws=draws, tune=tune, chains=chains, ess_sweeps=ess_sweeps,
+            )
+            natural = constrain(usamples)
+            self.trace = {k: np.asarray(v) for k, v in natural.items()}
+            self.trace["_latent_f"] = np.asarray(f_draws)
+            self.trace["_stats"] = {k: np.asarray(v) for k, v in stats.items()}
+            return self.trace
+
+        from ..ops.hmc import hmc_sample
+
+        def logp(uparams):
+            return -laplace_neg_logp(
+                self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta
+            )
 
         usamples, stats = hmc_sample(
             logp, q0, jax.random.PRNGKey(seed),
@@ -224,10 +250,54 @@ class GPC(GP):
         self.predictions_X = self.predictions_X.reshape(self.grid_parray.shape)
         return self.predictions
 
-    def predict_proba(self, points, output=None):
-        """Class probability P(y=1) at a 1-D parray of coordinates."""
+    def predict_proba(self, points, output=None, source=None, max_draws=64, seed=None):
+        """Class probability P(y=1) at a 1-D parray of coordinates.
+
+        ``source=None`` uses the Laplace approximation at the MAP
+        hyperparameters. Passing a trace from :meth:`sample` with
+        ``latent=True`` integrates over the joint (latent, hyperparameter)
+        posterior instead: for each of ``max_draws`` subsampled (θ, f)
+        draws, the exact Gaussian conditional at θ given f yields the f*
+        marginals, pushed through the probit-logistic approximation and
+        averaged — the full-Bayes probability surface (reference semantics,
+        ref GP.py:924-979).
+        """
         output = self._parse_prediction_output(output)
         points_array, _, _ = self._prepare_points_for_prediction(points, output=output)
+        if source is not None:
+            if "_latent_f" not in source:
+                raise ValueError(
+                    "predict_proba(source=...) needs a trace from "
+                    "sample(latent=True) (no '_latent_f' in the supplied trace)."
+                )
+            import jax
+
+            from ..ops.ess import latent_conditional_proba
+
+            xc, xk = self._split_X(np.asarray(points_array))
+            f = np.asarray(source["_latent_f"])  # (chains, draws, N)
+            S_all = f.shape[0] * f.shape[1]
+            f_flat = f.reshape(S_all, -1)
+            params_flat = {
+                k: np.asarray(v).reshape(S_all, *np.asarray(v).shape[2:])
+                for k, v in source.items()
+                if not k.startswith("_")
+            }
+            rng = np.random.default_rng(self.seed if seed is None else seed)
+            idx = (
+                rng.choice(S_all, max_draws, replace=False)
+                if S_all > max_draws
+                else np.arange(S_all)
+            )
+            params_stack = {
+                k: jnp.asarray(v[idx], dtype=self._dtype) for k, v in params_flat.items()
+            }
+            f_stack = jnp.asarray(f_flat[idx], dtype=self._dtype)
+            proba = latent_conditional_proba(
+                self._spec, params_stack, f_stack, self._xc, self._xk, xc, xk
+            )
+            self._last_prob = np.asarray(proba)
+            return self._last_prob
         self.predict(points_array)
         return self._last_prob
 

@@ -81,9 +81,18 @@ def quad_and_logdet(A, z):
     Shapes: ``A`` (..., N, N), ``z`` (..., N); returns two (...,) arrays.
     Leading batch dimensions map onto XLA's batched Cholesky/solves. A
     non-PD ``A`` surfaces as NaNs (downstream NaN→+inf guards handle it).
+
+    The primal (what value-only line-search trials evaluate) computes the
+    quadratic form as |L⁻¹z|² — ONE triangular solve. The full α = A⁻¹z
+    (two solves) is only needed for the backward pass, so it lives in
+    ``_qld_fwd``. Measured on v5e at N=5120, D=2: each 1-RHS triangular
+    solve costs ~4.4 ms against an 11 ms Cholesky (the sequential panel
+    sweep is latency-bound, not FLOP-bound), so dropping the second solve
+    cuts the hot MLL from 14.3 to ~12 ms (benchmarks/probe_mll_compose.py).
     """
-    L, α = _chol_and_alpha(A, z)
-    quad = jnp.sum(z * α, axis=-1)
+    L = jnp.linalg.cholesky(A)
+    w = jsl.solve_triangular(L, z[..., :, None], lower=True)[..., 0]
+    quad = jnp.sum(w * w, axis=-1)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
     return quad, logdet
 

@@ -5,6 +5,7 @@ from .mesh import NamedSharding, P, make_mesh, replicated, shard_leading  # noqa
 from .sharded import (  # noqa: F401
     data_sharded_fit_gp_map,
     sharded_fit_gp_map,
+    sharded_fit_kron_map,
     sharded_gram_mll,
     sharded_predict_diag,
     train_step,

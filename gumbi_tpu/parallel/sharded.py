@@ -40,11 +40,24 @@ from .blocked import dist_quad_and_logdet
 
 __all__ = [
     "sharded_fit_gp_map",
+    "sharded_fit_kron_map",
     "sharded_gram_mll",
     "sharded_predict_diag",
     "data_sharded_fit_gp_map",
     "train_step",
 ]
+
+
+def _pad_restarts(u0s, n_dev):
+    """Pad the restart batch to a device-count multiple (duplicates of
+    restart 0 are harmless — the argmin dedupes)."""
+    R = jax.tree_util.tree_leaves(u0s)[0].shape[0]
+    pad = (-R) % n_dev
+    if pad:
+        u0s = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate([a] + [a[:1]] * pad, axis=0), u0s
+        )
+    return u0s
 
 
 def sharded_fit_gp_map(
@@ -68,16 +81,7 @@ def sharded_fit_gp_map(
     restart_sharding = NamedSharding(mesh, P(("restart", "data")))
     rep = NamedSharding(mesh, P())
 
-    # Pad the restart batch to a device-count multiple (duplicates of restart
-    # 0 are harmless — the argmin dedupes) so any R shards cleanly.
-    n_dev = mesh.devices.size
-    R = jax.tree_util.tree_leaves(u0s)[0].shape[0]
-    pad = (-R) % n_dev
-    if pad:
-        u0s = jax.tree_util.tree_map(
-            lambda a: jnp.concatenate([a] + [a[:1]] * pad, axis=0), u0s
-        )
-
+    u0s = _pad_restarts(u0s, mesh.devices.size)
     u0s = jax.tree_util.tree_map(lambda a: jax.device_put(a, restart_sharding), u0s)
     xc, xk, y, ls_alpha, ls_beta = (
         jax.device_put(v, rep) for v in (xc, xk, y, ls_alpha, ls_beta)
@@ -93,6 +97,48 @@ def sharded_fit_gp_map(
 
     with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
         return run(spec, xc, xk, y, ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol)
+
+
+def sharded_fit_kron_map(
+    mesh: Mesh,
+    spec: GPSpec,
+    xc_locs,
+    Y,
+    ls_alpha,
+    ls_beta,
+    u0s,
+    maxiter=250,
+    tol=1e-6,
+):
+    """Restart-sharded MAP fit of the Kronecker-structured LMC model.
+
+    The flagship multi-output structure (batched (D, N, N) Cholesky instead
+    of one (ND, ND)): the objective is already a pure function of the
+    unconstrained parameters, so restart parallelism is identical to the
+    dense path — shard the restart batch, replicate the (N, d)+(N, D) data,
+    argmin across devices.
+    """
+    from ..ops.kronecker import kron_neg_logp
+
+    restart_sharding = NamedSharding(mesh, P(("restart", "data")))
+    rep = NamedSharding(mesh, P())
+
+    u0s = _pad_restarts(u0s, mesh.devices.size)
+    u0s = jax.tree_util.tree_map(lambda a: jax.device_put(a, restart_sharding), u0s)
+    xc_locs, Y, ls_alpha, ls_beta = (
+        jax.device_put(v, rep) for v in (xc_locs, Y, ls_alpha, ls_beta)
+    )
+
+    @partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter",))
+    def run(spec, xc_locs, Y, ls_alpha, ls_beta, u0s, maxiter=250, tol=1e-6):
+        def objective(uparams):
+            return kron_neg_logp(spec, uparams, xc_locs, Y, ls_alpha, ls_beta)
+
+        u_best, f_best, aux = multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+        return constrain(u_best), f_best, aux
+
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        return run(spec, xc_locs, Y, ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol)
 
 
 def _sharded_noisy_gram(mesh: Mesh, spec: GPSpec, params, xc, xk, jitter, n):

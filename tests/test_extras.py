@@ -259,3 +259,32 @@ def test_draw_grid_samples(fitted):
     fitted.prepare_grid(resolution=12)
     draws = fitted.draw_grid_samples(n_samples=4)
     assert draws.values().shape == (4, 12)
+
+
+def test_gpc_latent_full_bayes_matches_laplace():
+    """ESS full-Bayes over (latents, hypers) agrees with the Laplace
+    probability surface on a cleanly separable problem (VERDICT r2 item 6)."""
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-2, 2, 60)
+    labels = (x > 0).astype(float)
+    df = pd.DataFrame({"x": x, "label": labels})
+    ds = gmb.DataSet(df, outputs=["label"])
+    gpc = gmb.GPC(ds)
+    gpc.fit(
+        outputs=["label"], continuous_dims=["x"], heteroskedastic_outputs=False,
+        MAP_kwargs=dict(n_restarts=2, maxiter=80),
+    )
+
+    trace = gpc.sample(latent=True, draws=150, tune=150, chains=2, seed=0)
+    assert trace["_latent_f"].shape == (2, 150, 60)
+    assert 0.05 < float(trace["_stats"]["accept_rate"].mean()) < 0.95
+    # Hyper draws are finite natural-space values
+    assert np.all(np.isfinite(trace["ls_total"])) and np.all(trace["ls_total"] > 0)
+
+    pts = gpc.parray(x=np.array([-1.5, -0.5, 0.5, 1.5]))
+    p_laplace = gpc.predict_proba(pts)
+    p_ess = gpc.predict_proba(pts, source=trace, max_draws=64, seed=1)
+    # Same side of the boundary, monotone, and close to the Laplace surface
+    assert p_ess[0] < 0.3 and p_ess[-1] > 0.7
+    assert np.all(np.diff(p_ess) > 0)
+    assert np.allclose(p_ess, p_laplace, atol=0.15)

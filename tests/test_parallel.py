@@ -180,3 +180,67 @@ def test_model_level_mesh_fit_and_predict():
     p2 = gp2.predict_points(X[:9], mesh=mesh)
     assert np.allclose(p1.μ, p2.μ, rtol=1e-6)
     assert np.allclose(p1.σ2, p2.σ2, rtol=1e-5)
+
+
+def test_model_level_mesh_kronecker_fit():
+    """GP.find_MAP(mesh=...) on the flagship 2-output Kronecker structure
+    (restart-sharded kron_neg_logp) matches the single-device Kronecker fit."""
+    import gumbi_tpu as gmb
+
+    df = gmb.data.cars(n=36, seed=7)
+    ds = gmb.DataSet(
+        df, outputs=["mpg", "acceleration"], log_vars=["mpg", "acceleration", "horsepower"]
+    )
+
+    def build(gp):
+        gp.specify_model(
+            outputs=["mpg", "acceleration"], continuous_dims=["horsepower", "weight"]
+        )
+        gp.build_model()
+        assert gp._structure == "Kronecker"
+        return gp
+
+    gp1 = build(gmb.GP(ds))
+    gp1.find_MAP(n_restarts=4, maxiter=80)
+
+    mesh = make_mesh(8, restart_axis=4)
+    gp2 = build(gmb.GP(ds))
+    gp2.find_MAP(n_restarts=4, maxiter=80, mesh=mesh)
+
+    assert np.isclose(gp1._neg_logp, gp2._neg_logp, rtol=1e-5)
+    assert np.allclose(gp1.MAP["ls_total"], gp2.MAP["ls_total"], rtol=1e-3)
+
+    X, _ = gp1.get_structured_data()
+    p1 = gp1.predict_points(X[:8])
+    p2 = gp2.predict_points(X[:8])
+    assert np.allclose(p1.get("mpg").μ, p2.get("mpg").μ, rtol=1e-4)
+
+
+def test_model_level_shard_data_fit():
+    """GP.find_MAP(mesh=..., shard_data=True) — the exact-dense large-N path
+    reached through the user API — matches the single-device fit."""
+    import gumbi_tpu as gmb
+
+    df = gmb.data.cars(n=44, seed=3)
+    ds = gmb.DataSet(df, outputs=["mpg"], log_vars=["mpg", "horsepower"])
+
+    gp1 = gmb.GP(ds)
+    gp1.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+    gp1.build_model()
+    gp1.find_MAP(n_restarts=2, maxiter=60)
+
+    mesh = make_mesh(8, restart_axis=2)
+    gp2 = gmb.GP(ds)
+    gp2.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+    gp2.build_model()
+    gp2.find_MAP(n_restarts=2, maxiter=60, mesh=mesh, shard_data=True)
+
+    assert np.isclose(gp1._neg_logp, gp2._neg_logp, rtol=1e-5)
+    assert np.allclose(gp1.MAP["ls_total"], gp2.MAP["ls_total"], rtol=1e-3)
+
+    # Prediction after a data-sharded fit builds the dense cache lazily
+    X, _ = gp1.get_structured_data()
+    p1 = gp1.predict_points(X[:9])
+    p2 = gp2.predict_points(X[:9])
+    assert np.allclose(p1.μ, p2.μ, rtol=1e-4)
+    assert np.allclose(p1.σ2, p2.σ2, rtol=1e-3)
