@@ -1,9 +1,12 @@
 """Benchmark: fit + predict_grid for a 10k-point 2-output LMC GP on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...diagnostics}.
 value = steady-state wall-clock seconds for the MAP fit (8-restart L-BFGS)
-plus a 100-pt-per-output grid prediction. vs_baseline is measured against the
-BASELINE.json north-star budget of 1.0 s (a v5e-8 target; this runs on 1 chip).
+plus the REFERENCE-SEMANTICS grid prediction: resolution=100 per continuous
+dim → a 100×100 z-space grid (10,000 points) × 2 outputs = 20,000 posterior
+(μ, σ²) pairs (reference gumbi/regression/base.py:701-726). vs_baseline is
+measured against the BASELINE.json north-star budget of 1.0 s (a v5e-8
+target; this runs on 1 chip).
 
 The model is the bench-native Kronecker formulation of the LMC: identical
 posterior to the dense tall model (verified in tests/test_kronecker.py), with
@@ -18,8 +21,16 @@ exhaustive full-data multi-restart search by tests/test_bench_quality.py:
   polish  full-N L-BFGS from the mid optimum (few iterations; the full-data
           gradient at N=5120 costs ~50 ms, so iterations are what matter)
 
-The headline number runs all stages + prediction as ONE jitted program (no
-host round-trips); a phase table from per-stage dispatches goes to stderr.
+Diagnostics in the JSON line (VERDICT r2 items 2/7):
+  compile_s     compile + first-run wall-clock of the whole chain
+  *_ms          steady per-phase costs
+  gflops        hot Kronecker MLL throughput (chol-dominated FLOP count)
+  roofline_pct  gflops vs the 61.5 TFLOP/s measured f32 GEMM roofline
+  op_floor_ms   measured-in-this-run floor: batched Cholesky + Gram alone
+  op_floor_pct  op floor / composed MLL (how close composition is to ops)
+
+`python bench.py --warmup` compiles every program (populating the
+persistent compilation cache) and exits after the first run.
 """
 
 import json
@@ -66,8 +77,13 @@ POLISH_ITERS = int(os.environ.get("BENCH_POLISH_ITERS", 20))  # full-N cap
 # basin-equivalence tolerance the quality guard (tests/test_bench_quality.py)
 # certifies.
 POLISH_FTOL = float(os.environ.get("BENCH_POLISH_FTOL", 3e-5))
-GRID = int(os.environ.get("BENCH_GRID", 100))
+GRID = int(os.environ.get("BENCH_GRID", 100))  # resolution PER DIM (ref default)
 BASELINE_SECONDS = 1.0
+# Measured f32 GEMM roofline on this chip (benchmarks/probe_chol.py: 5120²
+# matmul at highest precision = 61.5 TFLOP/s). The BASELINE "≥50% of
+# roofline" target is tracked as roofline_pct below; the measured
+# Cholesky-bound op ceiling is tracked as op_floor_pct.
+GEMM_ROOFLINE_GFLOPS = 61_500.0
 DTYPE = jnp.float32
 
 
@@ -101,10 +117,17 @@ def make_problem():
 
 
 def main():
+    warmup_only = "--warmup" in sys.argv
     t_setup = time.time()
     spec, xc_locs, Y, ls_alpha, ls_beta = make_problem()
+    # Reference grid semantics: resolution=100 per continuous dim over the
+    # padded z-range → 100×100 = 10,000 grid points, predicted for BOTH
+    # outputs (ref base.py:701-726). Round 2 predicted a 100-pt 1-D slice
+    # here; this is the honest workload.
     g = np.linspace(-2, 2, GRID).astype(np.float32)
-    xc_grid = jnp.asarray(np.column_stack([g, np.zeros_like(g)]), dtype=DTYPE)
+    G1, G2 = np.meshgrid(g, g, indexing="ij")
+    xc_grid = jnp.asarray(np.column_stack([G1.ravel(), G2.ravel()]), dtype=DTYPE)
+    n_grid = int(xc_grid.shape[0])
 
     la = jnp.asarray(ls_alpha, dtype=DTYPE)
     lb = jnp.asarray(ls_beta, dtype=DTYPE)
@@ -144,9 +167,19 @@ def main():
     def polish(u0):
         return stage(xc_locs, Y, POLISH_ITERS, ftol=POLISH_FTOL)(u0)
 
-    def predict(params):
+    def predict(u_best):
+        # constrain() runs INSIDE the program: eager constrain on the host
+        # is ~7 tiny unary dispatches at ~5 ms tunnel latency each (~35 ms
+        # of pure dispatch, measured — perf.md decision 10/12).
+        params = constrain(u_best)
         kc = kron_cache(spec, params, xc_locs, Y)
-        return kron_predict_diag(spec, params, kc, xc_grid, with_noise=True)
+        mean, var = kron_predict_diag(spec, params, kc, xc_grid, with_noise=True)
+        # ONE stacked output → ONE device→host transfer: each d2h copy
+        # through the tunnel costs ~29 ms regardless of size (160 KB here),
+        # so returning mean and var separately doubles the latency
+        # (benchmarks/probe_predict_variants.py: 45.7 ms device-resident,
+        # 104 ms with two host copies).
+        return jnp.stack([mean, var])
 
     # One jitted program per stage. (Fusing the whole chain into a single
     # program was tried and abandoned: XLA takes >9.5 min to compile the
@@ -154,83 +187,150 @@ def main():
     # saved dispatch. Four cached programs compile in a fraction of that.)
     coarse_j, mid_j, polish_j, predict_j = map(jax.jit, (coarse, mid, polish, predict))
 
-    def run_chain():
+    def run_chain(timed=False):
+        """One fit+predict chain. With timed=False the four stages queue
+        asynchronously (device-resident dependencies, no host syncs — saves
+        ~3 tunnel roundtrips); timed=True inserts block_until_ready between
+        stages for the phase table."""
         t0 = time.perf_counter()
         u_c, its_c = coarse_j(u0s)
-        jax.block_until_ready(u_c)
+        if timed:
+            jax.block_until_ready(u_c)
         t1 = time.perf_counter()
         u_m, its_m = mid_j(u_c)
-        jax.block_until_ready(u_m)
+        if timed:
+            jax.block_until_ready(u_m)
         t2 = time.perf_counter()
         u_best, f_best, its_p = polish_j(u_m)
-        jax.block_until_ready(u_best)
+        if timed:
+            jax.block_until_ready(u_best)
         t3 = time.perf_counter()
-        params = constrain(u_best)
-        mean, var = predict_j(params)
-        mean, var = np.asarray(mean), np.asarray(var)
+        mv = np.asarray(predict_j(u_best))
+        mean, var = mv[0], mv[1]
         t4 = time.perf_counter()
+        params = constrain(u_best)
         return params, f_best, mean, var, (its_c, its_m, its_p), (t0, t1, t2, t3, t4)
 
     # --- compile + first run ---
     t0 = time.time()
-    params, neg, mean_h, var_h, its, ts0 = run_chain()
+    params, neg, mean_h, var_h, its, ts0 = run_chain(timed=True)
     neg = float(neg)
-    compile_and_run = time.time() - t0
+    compile_s = time.time() - t0
     c0, c1, c2, c3, c4 = ts0
+    assert mean_h.shape == (2, n_grid) and var_h.shape == (2, n_grid)
+    assert np.all(np.isfinite(mean_h)) and np.all(var_h >= 0)
     print(
-        f"[bench] compile+first-run {compile_and_run:.1f}s "
+        f"[bench] compile+first-run {compile_s:.1f}s "
         f"(per program: coarse {c1-c0:.0f}s | mid {c2-c1:.0f}s | polish {c3-c2:.0f}s | "
         f"predict {c4-c3:.0f}s), neg_logp={neg:.2f}",
         file=sys.stderr,
     )
 
-    # --- steady state ---
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        params, neg, mean_h, var_h, its, ts = run_chain()
-    steady = (time.perf_counter() - t0) / reps
-    its_c, its_m, its_p = (np.asarray(x).tolist() for x in its)
-    p0, p1, p2, p3, p4 = ts
-    print(
-        f"[bench] phases: coarse {(p1-p0)*1e3:.0f}ms (iters {its_c}) | "
-        f"mid {(p2-p1)*1e3:.0f}ms (iters {its_m}) | polish {(p3-p2)*1e3:.0f}ms (iters {its_p}) | "
-        f"predict {(p4-p3)*1e3:.0f}ms | neg_logp {float(neg):.2f}",
-        file=sys.stderr,
-    )
-    print(f"[bench] steady fit+predict {steady:.3f}s", file=sys.stderr)
-
-    # Hot-path throughput: batched (D, N, N) Gram+Cholesky
-    from gumbi_tpu.ops.kronecker import kron_mll
+    # Hot-path throughput + live op floor: batched (D, N, N) Gram+Cholesky
+    from gumbi_tpu.ops.kronecker import _continuous_gram, kron_mll
 
     @jax.jit
     def hot(params):
         return kron_mll(spec, params, xc_locs, Y)
 
-    float(hot(params))
-    t0 = time.perf_counter()
-    reps = 5
-    out = None
-    for _ in range(reps):
-        out = hot(params)
-    float(out)
-    dt = (time.perf_counter() - t0) / reps
+    @jax.jit
+    def chol_only(A):
+        return jnp.linalg.cholesky(A)
+
+    @jax.jit
+    def gram_only(params):
+        return _continuous_gram(spec, params, xc_locs, xc_locs)
+
     d_out = Y.shape[1]
-    flops = d_out * (N_LOCS**3 / 3) + 2 * N_LOCS * N_LOCS * spec.d_cont
-    rate = flops / dt / 1e9
+    Kx = gram_only(params)
+    A_probe = jnp.tile(Kx[None], (d_out, 1, 1)) + jnp.eye(N_LOCS, dtype=DTYPE)[None]
+    float(hot(params))
+    jax.block_until_ready(chol_only(A_probe))
+
+    def timeit(fn, *args, reps=5):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    if warmup_only:
+        print(
+            json.dumps(
+                {
+                    "metric": "bench warmup (compile cache populated)",
+                    "value": round(compile_s, 1),
+                    "unit": "s",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
+
+    # --- steady state ---
+    # One synced rep for the phase table (block_until_ready between stages),
+    # then the measured reps run the stages async-chained — stage outputs
+    # stay device-resident, so the measured number has no artificial host
+    # roundtrips between stages (phase ms therefore sum to slightly MORE
+    # than the steady value).
+    params, neg, mean_h, var_h, its, ts = run_chain(timed=True)
+    its_c, its_m, its_p = (np.asarray(x).tolist() for x in its)
+    p0, p1, p2, p3, p4 = ts
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        params, neg, mean_h, var_h, _, _ = run_chain()
+    steady = (time.perf_counter() - t0) / reps
+    phase_ms = {
+        "coarse_ms": (p1 - p0) * 1e3,
+        "mid_ms": (p2 - p1) * 1e3,
+        "polish_ms": (p3 - p2) * 1e3,
+        "predict_ms": (p4 - p3) * 1e3,
+    }
     print(
-        f"[bench] batched Gram+Chol {rate:.0f} GFLOP/s ({dt*1e3:.1f} ms per MLL) "
-        f"| mean range [{mean_h.min():.3f}, {mean_h.max():.3f}]",
+        f"[bench] phases: coarse {phase_ms['coarse_ms']:.0f}ms (iters {its_c}) | "
+        f"mid {phase_ms['mid_ms']:.0f}ms (iters {its_m}) | "
+        f"polish {phase_ms['polish_ms']:.0f}ms (iters {its_p}) | "
+        f"predict {phase_ms['predict_ms']:.0f}ms ({n_grid}-pt grid × {d_out} outputs) | "
+        f"neg_logp {float(neg):.2f}",
+        file=sys.stderr,
+    )
+    print(f"[bench] steady fit+predict {steady:.3f}s", file=sys.stderr)
+
+    dt_mll = timeit(hot, params)
+    dt_chol = timeit(chol_only, A_probe)
+    dt_gram = timeit(gram_only, params)
+    flops = d_out * (N_LOCS**3 / 3) + 2 * N_LOCS * N_LOCS * spec.d_cont
+    gflops = flops / dt_mll / 1e9
+    op_floor_ms = (dt_chol + dt_gram) * 1e3
+    print(
+        f"[bench] hot MLL {dt_mll*1e3:.1f} ms ({gflops:.0f} GFLOP/s, "
+        f"{100*gflops/GEMM_ROOFLINE_GFLOPS:.1f}% of GEMM roofline) | "
+        f"op floor {op_floor_ms:.1f} ms (chol {dt_chol*1e3:.1f} + gram {dt_gram*1e3:.1f}) "
+        f"= {100*op_floor_ms/(dt_mll*1e3):.0f}% of composed | "
+        f"mean range [{mean_h.min():.3f}, {mean_h.max():.3f}]",
         file=sys.stderr,
     )
 
     print(
         json.dumps(
             {
-                "metric": f"fit+predict_grid {2*N_LOCS}-pt 2-output LMC GP (1 chip, f32)",
+                "metric": (
+                    f"fit+predict_grid {2*N_LOCS}-pt 2-output LMC GP, "
+                    f"{n_grid}-pt grid × 2 outputs (1 chip, f32)"
+                ),
                 "value": round(steady, 3),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_SECONDS / steady, 3),
+                "compile_s": round(compile_s, 1),
+                **{k: round(v, 1) for k, v in phase_ms.items()},
+                "mll_ms": round(dt_mll * 1e3, 1),
+                "gflops": round(gflops),
+                "roofline_pct": round(100 * gflops / GEMM_ROOFLINE_GFLOPS, 1),
+                "op_floor_ms": round(op_floor_ms, 1),
+                "op_floor_pct": round(100 * op_floor_ms / (dt_mll * 1e3), 1),
             }
         )
     )
