@@ -43,6 +43,13 @@ if _force:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={_force}"
+        # XLA's CPU collective rendezvous hard-kills the process when a
+        # participant is >40 s late; on a 1-core host timesharing 8 virtual
+        # devices a heavy f64 panel can legitimately take minutes while the
+        # other 7 threads wait (observed at N=16384 f64). Raise the limits —
+        # virtual-mesh runs here measure correctness, not latency.
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
     )
 
 import numpy as np  # noqa: E402
@@ -143,8 +150,15 @@ def main():
             def objective(u):
                 return map_neg_logp(spec, u, xc, xk, yj, la, lb)
 
+        # BENCH_FACT_GRAD=0 demonstrates the forward factorization (Cholesky
+        # + quad/logdet value) only — the f64 gradient program can be a
+        # compile bomb on emulated-f64 backends.
+        with_grad = os.environ.get("BENCH_FACT_GRAD", "1") == "1"
         u0 = jax.tree_util.tree_map(lambda a: a[0], u0s)
-        vg = jax.jit(jax.value_and_grad(objective))
+        if with_grad:
+            vg = jax.jit(jax.value_and_grad(objective))
+        else:
+            vg = jax.jit(lambda u: (objective(u), None))
         t0 = time.time()
         v, g = vg(u0)
         v = float(v)
@@ -153,14 +167,18 @@ def main():
         v, g = vg(u0)
         v = float(v)
         per_vg = time.perf_counter() - t0
-        gnorm = float(
-            jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(g)))
+        gnorm = (
+            float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(g))))
+            if with_grad
+            else float("nan")
         )
-        assert np.isfinite(v) and np.isfinite(gnorm), "f64 factorization not finite"
+        assert np.isfinite(v), "f64 factorization not finite"
+        assert not with_grad or np.isfinite(gnorm), "f64 gradient not finite"
         chol_flops = N**3 / 3
         print(
-            f"[dense] FACT_ONLY {_dtype_name}: value+grad {per_vg:.2f}s "
-            f"(compile+first {compile_s:.1f}s), neg_logp={v:.2f}, |grad|={gnorm:.3f}, "
+            f"[dense] FACT_ONLY {_dtype_name} ({'value+grad' if with_grad else 'value only'}): "
+            f"{per_vg:.2f}s (compile+first {compile_s:.1f}s), neg_logp={v:.2f}, "
+            f"|grad|={gnorm:.3f}, "
             f"{chol_flops/per_vg/1e9:.0f} GFLOP/s factorization lower bound",
             file=sys.stderr,
         )
@@ -168,7 +186,8 @@ def main():
             json.dumps(
                 {
                     "metric": (
-                        f"exact dense {N}-pt {_dtype_name} MLL value+grad "
+                        f"exact dense {N}-pt {_dtype_name} MLL "
+                        f"{'value+grad' if with_grad else 'value'} "
                         f"({'data-sharded ' + str(n_dev) + ' devices' if n_dev > 1 else 'single device'}, {backend})"
                     ),
                     "value": round(per_vg, 3),

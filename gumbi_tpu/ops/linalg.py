@@ -111,8 +111,13 @@ def _qld_bwd(res, cotangents):
     # A⁻¹ = L⁻ᵀ L⁻¹. Large N: recursive GEMM inverse behind an optimization
     # barrier (2.4× the XLA solve, see module constant above). Small N: one
     # fused triangular solve (the sequential-panel cost is negligible and the
-    # recursion's concat overhead is not).
-    if n >= _TRI_INV_RECURSION_MIN:
+    # recursion's concat overhead is not). float64 ON TPU always takes the
+    # fused solve: f64 there is emulated and the recursion's unrolled GEMM
+    # tree makes the program uncompilable in practice (>10 min at N=4096,
+    # measured r3) — the emulation also erases the GEMM-vs-solve advantage.
+    # (CPU/GPU f64 keeps the recursion; tests exercise it at f64.)
+    f64_on_tpu = L.dtype == jnp.float64 and jax.default_backend() == "tpu"
+    if n >= _TRI_INV_RECURSION_MIN and not f64_on_tpu:
         Linv = jax.lax.optimization_barrier(tri_inverse(L))
     else:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)

@@ -12,7 +12,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    # Raise the CPU collective rendezvous limits alongside: with 8 virtual
+    # devices timesharing one host core, a slow participant can be >40 s
+    # late to an all-reduce, and XLA's default hard-kills the process.
+    os.environ["XLA_FLAGS"] = (
+        _flags
+        + " --xla_force_host_platform_device_count=8"
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 # Persistent compilation cache: the vmapped L-BFGS fit program is expensive to
 # compile; cache it across test runs.
