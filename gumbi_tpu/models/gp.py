@@ -94,6 +94,8 @@ class GP(Regressor):
             "heteroskedastic_outputs": self.heteroskedastic_outputs,
             "sparse": self.sparse,
             "n_u": self.n_u,
+            "multitask_kernel": None,
+            "ARD": True,
         }
 
     ################################################################################
@@ -192,6 +194,34 @@ class GP(Regressor):
         )
         return xc, xk
 
+    def _reduced_xk(self, xk_np):
+        """Xk with the output column dropped (Independent sub-model layout)."""
+        keep = self._ind_keep
+        xk_np = np.asarray(xk_np)
+        if not keep:
+            return jnp.zeros((xk_np.shape[0], 0), dtype=jnp.int32)
+        return jnp.asarray(xk_np[:, keep].astype(np.int32))
+
+    def _split_ind_data(self):
+        """Per-output data blocks: rows of output j, with the output column
+        dropped from Xk (Independent sub-model coregs index the reduced Xk)."""
+        out_idx = self.categorical_dims.index(self.out_col)
+        self._ind_out_idx = out_idx
+        self._ind_keep = [jj for jj in range(self._xk.shape[1]) if jj != out_idx]
+        xk_np = np.asarray(self._xk)
+        self._ind_data = []
+        for j in range(len(self.outputs)):
+            rows = np.where(xk_np[:, out_idx] == j)[0]
+            self._ind_data.append(
+                (self._xc[rows], self._reduced_xk(xk_np[rows]), self._yz[rows])
+            )
+
+    def _ind_output_index(self, name):
+        """Coregion code of output ``name`` (the index into _ind_params)."""
+        sorted_coords = self._cat_maps[self.out_col]
+        coord = float(self.categorical_coords[self.out_col][name])
+        return int(np.searchsorted(sorted_coords, np.round(coord, 9)))
+
     def _build_cat_maps(self):
         self._cat_maps = {
             dim: np.sort(np.asarray(list(self.categorical_coords[dim].values()), dtype=float))
@@ -279,13 +309,23 @@ class GP(Regressor):
         self.sparse = sparse
         self.n_u = n_u
         self.latent = False
+        # Full build config so cross_validate's train-subset refits
+        # (base.py build_model(**model_specs)) reproduce the same structure
+        # choice and priors (reference echoes its config the same way,
+        # ref gumbi/regression/pymc/GP.py:534-541).
         self.model_specs = {
             "seed": seed,
             "continuous_kernel": continuous_kernel,
+            "period": period,
             "heteroskedastic_inputs": heteroskedastic_inputs,
             "heteroskedastic_outputs": heteroskedastic_outputs,
             "sparse": sparse,
             "n_u": n_u,
+            "ARD": ARD,
+            "ls_bounds": ls_bounds,
+            "mass": mass,
+            "multitask_kernel": multitask_kernel,
+            "bucket": bucket,
         }
 
         # Period (z-space) per continuous dim for periodic kernels
@@ -384,41 +424,63 @@ class GP(Regressor):
         if multitask_kernel == "Independent" and d_out > 1:
             # Per-output single-task GPs: separate kernels, no learned
             # cross-output correlation (reference ModelListGP,
-            # gumbi/regression/botorch/GP.py:253-267).
-            if self.additive or self.categorical_dims != [self.out_col]:
+            # gumbi/regression/botorch/GP.py:253-267). Composes with extra
+            # categorical dims and additive structure like the reference
+            # ModelListGP does: each sub-model keeps every coregion factor
+            # except the output column and the full additive term structure.
+            if sparse:
                 raise NotImplementedError(
-                    "Independent multitask structure supports only the plain "
-                    "multi-output case (no extra categorical dims, not additive)."
+                    "Independent structure does not compose with sparse FITC "
+                    "(the reference's ModelListGP is exact-only); fit per-output "
+                    "sparse GPs directly or use the Hadamard structure."
+                )
+            if bucket:
+                raise NotImplementedError(
+                    "Bucket padding is not implemented for the Independent "
+                    "structure (per-output blocks have their own shapes)."
                 )
             self._structure = "Independent"
-            self._ind_spec = GPSpec(
-                terms=(
+            out_idx = self.categorical_dims.index(self.out_col)
+            sub_cats = [d for d in self.categorical_dims if d != self.out_col]
+            # Coregion factors index the REDUCED Xk (output column dropped)
+            sub_coreg = {
+                d: CoregTerm(name=d, col=jj, d_out=len(self.categorical_levels[d]))
+                for jj, d in enumerate(sub_cats)
+            }
+            if not self.additive:
+                ind_terms = (
                     GPTerm(
                         suffix="total",
                         kernel=continuous_kernel,
-                        linear_idx=tuple(
-                            self.continuous_dims.index(d) for d in self.linear_dims
-                        ),
+                        linear_idx=linear_idx,
+                        coregs=tuple(sub_coreg[d] for d in sub_cats),
                     ),
-                ),
+                )
+            else:
+                ind_terms = [
+                    GPTerm(
+                        suffix="total", kernel=continuous_kernel, linear_idx=linear_idx
+                    )
+                ]
+                for dim in sub_cats:
+                    ind_terms.append(
+                        GPTerm(
+                            suffix=dim,
+                            kernel=continuous_kernel,
+                            linear_idx=linear_idx,
+                            coregs=(sub_coreg[dim],),
+                        )
+                    )
+                ind_terms = tuple(ind_terms)
+            self._ind_spec = GPSpec(
+                terms=ind_terms,
                 d_cont=d_cont,
                 ard=ARD,
                 period=period_z if "Periodic" in continuous_kernel else None,
             )
             self._spec = self._ind_spec
             self.model = self._spec
-            # Per-output data blocks (output-major tall layout)
-            xk_col = np.asarray(self._xk[:, 0]) if self._xk.shape[1] else None
-            self._ind_data = []
-            for j in range(d_out):
-                mask = np.asarray(xk_col == j)
-                self._ind_data.append(
-                    (
-                        self._xc[np.where(mask)[0]],
-                        jnp.zeros((int(mask.sum()), 0), dtype=jnp.int32),
-                        self._yz[np.where(mask)[0]],
-                    )
-                )
+            self._split_ind_data()
             X_s = np.asarray(self._xc)[:, :d_cont]
             lowers, uppers = self._prepare_ls_bounds(np.asarray(X_s, dtype=float), ARD, ls_bounds)
             self._ls_alpha, self._ls_beta = ls_prior_params(lowers, uppers, mass=mass)
@@ -596,8 +658,11 @@ class GP(Regressor):
                 self._neg_logp = neg_logp
                 self._fit_aux = aux
                 self.MAP = {
-                    out: {k: np.asarray(v) for k, v in p.items()}
-                    for out, p in zip(self.outputs, self._ind_params)
+                    out: {
+                        k: np.asarray(v)
+                        for k, v in self._ind_params[self._ind_output_index(out)].items()
+                    }
+                    for out in self.outputs
                 }
                 self._cache = None
                 return self.MAP
@@ -672,8 +737,11 @@ class GP(Regressor):
             self._neg_logp = neg_total
             self._fit_aux = aux
             self.MAP = {
-                out: {k: np.asarray(v) for k, v in p.items()}
-                for out, p in zip(self.outputs, self._ind_params)
+                out: {
+                    k: np.asarray(v)
+                    for k, v in self._ind_params[self._ind_output_index(out)].items()
+                }
+                for out in self.outputs
             }
             self._cache = None
             return self.MAP
@@ -718,6 +786,14 @@ class GP(Regressor):
     def _ensure_dense_cache(self):
         """Dense tall-basis factorization, built lazily when a path (BO,
         joint sampling) needs full covariances the Kronecker cache lacks."""
+        if self._structure == "Independent":
+            # There is no joint tall model: the sub-spec has no output
+            # coregion and each output owns its own params/cache. Every
+            # Independent-aware path dispatches to self._ind_caches instead.
+            raise RuntimeError(
+                "Independent structure has no joint dense cache; "
+                "use the per-output models (self._ind_params/_ind_caches)."
+            )
         if self._cache is None:
             self._cache = posterior_cache(
                 self._spec, self._params, self._xc, self._xk, self._yz, mask=self._mask
@@ -746,6 +822,25 @@ class GP(Regressor):
                 )
             from ..parallel import sharded_predict_diag
 
+            if self._structure == "Independent":
+                xk_np = np.asarray(xk)
+                out_colv = xk_np[:, self._ind_out_idx]
+                means, vars_ = [], []
+                i = 0
+                while i < len(out_colv):
+                    j = int(out_colv[i])
+                    end = i
+                    while end < len(out_colv) and out_colv[end] == j:
+                        end += 1
+                    m, v = sharded_predict_diag(
+                        mesh, self._spec, self._ind_params[j], self._ind_caches[j],
+                        xc[i:end], self._reduced_xk(xk_np[i:end]),
+                        with_noise=with_noise,
+                    )
+                    means.append(np.asarray(m))
+                    vars_.append(np.asarray(v))
+                    i = end
+                return np.concatenate(means), np.concatenate(vars_)
             cache = self._ensure_dense_cache()
             mean, var = sharded_predict_diag(
                 mesh, self._spec, self._params, cache, xc, xk, with_noise=with_noise
@@ -773,19 +868,18 @@ class GP(Regressor):
 
     def _independent_predict_tall(self, xc, xk, with_noise):
         """Per-output prediction for tall (per-output block) point arrays."""
-        xk_col = np.asarray(xk[:, 0])
+        xk_np = np.asarray(xk)
+        out_colv = xk_np[:, self._ind_out_idx]
         means, vars_ = [], []
         i = 0
-        while i < len(xk_col):
-            j = int(xk_col[i])
+        while i < len(out_colv):
+            j = int(out_colv[i])
             end = i
-            while end < len(xk_col) and xk_col[end] == j:
+            while end < len(out_colv) and out_colv[end] == j:
                 end += 1
-            xc_blk = xc[i:end]
-            xk_blk = jnp.zeros((end - i, 0), dtype=jnp.int32)
             m, v = predict_diag(
                 self._spec, self._ind_params[j], self._ind_caches[j],
-                xc_blk, xk_blk, with_noise=with_noise,
+                xc[i:end], self._reduced_xk(xk_np[i:end]), with_noise=with_noise,
             )
             means.append(m)
             vars_.append(v)
@@ -862,6 +956,13 @@ class GP(Regressor):
         from ..ops.priors import constrain, unconstrain
 
         assert self._spec is not None, "Call build_model first"
+        if self._structure == "Independent":
+            raise NotImplementedError(
+                "Full-Bayes sampling is not implemented for the Independent "
+                "structure (the reference's ModelListGP backend is MAP-only, "
+                "ref gumbi/regression/botorch/GP.py); use Hadamard for HMC "
+                "over a joint multi-output model."
+            )
         seed = self.seed if seed is None else seed
         ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
         ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
@@ -914,16 +1015,29 @@ class GP(Regressor):
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
 
         if source is None or source is self.MAP:
-            samples = draw_samples(
-                self._spec,
-                self._params,
-                self._ensure_dense_cache(),
-                xc,
-                xk,
-                key,
-                n_samples=n_samples,
-                with_noise=with_noise,
-            )
+            if self._structure == "Independent":
+                j = self._ind_output_index(output[0])
+                samples = draw_samples(
+                    self._spec,
+                    self._ind_params[j],
+                    self._ind_caches[j],
+                    xc,
+                    self._reduced_xk(np.asarray(xk)),
+                    key,
+                    n_samples=n_samples,
+                    with_noise=with_noise,
+                )
+            else:
+                samples = draw_samples(
+                    self._spec,
+                    self._params,
+                    self._ensure_dense_cache(),
+                    xc,
+                    xk,
+                    key,
+                    n_samples=n_samples,
+                    with_noise=with_noise,
+                )
             out = np.asarray(samples)
         else:
             # Hyperparameter-posterior-integrated draws: subsample the trace
@@ -1008,7 +1122,17 @@ class GP(Regressor):
         assert self._params is not None, "Model must be fit before proposing"
         # Materialize the dense cache eagerly: building it lazily inside the
         # traced acquisition closure would leak tracers onto self._cache.
-        self._ensure_dense_cache()
+        # Independent structure has no joint cache — its acquisitions sample
+        # the block-diagonal model-list posterior via make_indep_sample_fn.
+        if self._structure == "Independent":
+            from ..ops.acquisition import make_indep_sample_fn
+
+            indep_sample_fn = make_indep_sample_fn(
+                self._spec, self._ind_params, self._ind_caches, self._ind_out_idx
+            )
+        else:
+            indep_sample_fn = None
+            self._ensure_dense_cache()
         seed = self.seed if seed is None else seed
         d = len(self.continuous_dims)
         d_out = len(self.outputs)
@@ -1043,8 +1167,12 @@ class GP(Regressor):
             base_locs = xc_train[:n_real]
         else:
             # Tall layout is output-major: the first n_real/d_out rows are
-            # the shared locations of output 0.
-            base_locs = xc_train[: n_real // d_out]
+            # the shared locations of output 0. Independent data can be
+            # ragged across outputs — use output 0's own block there.
+            if self._structure == "Independent":
+                base_locs = np.asarray(self._ind_data[0][0])
+            else:
+                base_locs = xc_train[: n_real // d_out]
         if base_locs.shape[0] > max_baseline:
             idx = rng.choice(base_locs.shape[0], max_baseline, replace=False)
             base_locs = base_locs[idx]
@@ -1124,23 +1252,30 @@ class GP(Regressor):
 
                 # Reference ref_point default: per-output train min − 1e-3
                 if ref_point is None:
-                    y = np.asarray(self._yz)
-                    halves = np.split(y, d_out)
+                    if self._structure == "Independent":
+                        # Ragged-safe: per-output blocks from the sub-model data
+                        halves = [np.asarray(y_j) for (_, _, y_j) in self._ind_data]
+                    else:
+                        y = np.asarray(self._yz)
+                        halves = np.split(y, d_out)
                     rp = [
                         (h.min() - 1e-3) if maximize else -(h.max() + 1e-3) for h in halves
                     ]
                 else:
                     rp = list(ref_point)
 
+                joint_cache = None if indep_sample_fn is not None else self._ensure_dense_cache()
+                joint_params = None if indep_sample_fn is not None else self._params
                 if d_out == 2:
                     # Exact sweep-line hypervolume (differentiable a.e.)
                     def acq(Xc):
                         xc_cD = jnp.concatenate([Xc] * d_out)
                         xk_cD = jnp.concatenate([cat_cols(q_now, j) for j in range(d_out)])
                         return qlog_nehvi_2d(
-                            self._spec, self._params, self._ensure_dense_cache(),
+                            self._spec, joint_params, joint_cache,
                             xc_cD, xk_cD, xc_bD, xk_bD, base_samples,
                             jnp.asarray(rp, dtype=self._dtype), maximize=maximize,
+                            sample_fn=indep_sample_fn,
                         )
                 else:
                     # D ≥ 3: decomposition-free QMC box integration
@@ -1153,10 +1288,11 @@ class GP(Regressor):
                         xc_cD = jnp.concatenate([Xc] * d_out)
                         xk_cD = jnp.concatenate([cat_cols(q_now, j) for j in range(d_out)])
                         return qlog_nehvi_mc(
-                            self._spec, self._params, self._ensure_dense_cache(),
+                            self._spec, joint_params, joint_cache,
                             xc_cD, xk_cD, xc_bD, xk_bD, base_samples,
                             jnp.asarray(rp, dtype=self._dtype), u_box, d_out,
                             maximize=maximize,
+                            sample_fn=indep_sample_fn,
                         )
 
             return optimize_acqf(
@@ -1222,6 +1358,33 @@ class GP(Regressor):
             raise NotImplementedError("Prediction for additive sublevels is not yet supported.")
         assert self._params is not None, "Model must be fit before predicting"
         xc, xk = self._split_X(np.asarray(points_array))
+        if self._structure == "Independent":
+            # Per-output mean gradients against each sub-model's own cache
+            # (tall points arrive in contiguous per-output blocks).
+            xk_np = np.asarray(xk)
+            out_colv = xk_np[:, self._ind_out_idx]
+            rows = []
+            i = 0
+            while i < len(out_colv):
+                j = int(out_colv[i])
+                end = i
+                while end < len(out_colv) and out_colv[end] == j:
+                    end += 1
+                cache_j, params_j = self._ind_caches[j], self._ind_params[j]
+
+                def mean_one(xc_s, xk_s, params_j=params_j, cache_j=cache_j):
+                    ks = gram(
+                        self._spec, params_j, xc_s[None, :], xk_s[None, :],
+                        cache_j.xc, cache_j.xk,
+                    )
+                    return (ks @ cache_j.alpha)[0]
+
+                g = jax.vmap(jax.grad(mean_one, argnums=0), in_axes=(0, 0))(
+                    xc[i:end], self._reduced_xk(xk_np[i:end])
+                )
+                rows.append(np.asarray(g))
+                i = end
+            return np.concatenate(rows, axis=0)
         self._ensure_dense_cache()
         grad_fn = jax.vmap(jax.grad(self._mean_fn_single, argnums=0), in_axes=(0, 0))
         return np.asarray(grad_fn(xc, xk))  # (M, d_cont) in z-space
@@ -1312,6 +1475,10 @@ class GP(Regressor):
         if self._structure == "Kronecker":
             arrays["xc_locs"] = np.asarray(self._xc_locs)
             arrays["Y"] = np.asarray(self._Y)
+        if self._structure == "Independent" and getattr(self, "_ind_params", None):
+            # Per-output sub-model parameters (self._params is only output 0)
+            for j, p in enumerate(self._ind_params):
+                arrays.update({f"ind{j}::{k}": np.asarray(v) for k, v in p.items()})
         if self._mask is not None:
             arrays["mask"] = np.asarray(self._mask)
         np.savez(path, __meta__=json.dumps(meta, default=str), **arrays)
@@ -1384,6 +1551,33 @@ class GP(Regressor):
         if gp._structure == "Kronecker":
             gp._xc_locs = jnp.asarray(arrays["xc_locs"], dtype=gp._dtype)
             gp._Y = jnp.asarray(arrays["Y"], dtype=gp._dtype)
+        if gp._structure == "Independent":
+            gp._split_ind_data()
+            gp._ind_params = []
+            gp._ind_caches = []
+            j = 0
+            while any(k.startswith(f"ind{j}::") for k in arrays):
+                p_j = {
+                    k[len(f"ind{j}::"):]: jnp.asarray(
+                        v, dtype=(jnp.int32 if v.dtype.kind == "i" else gp._dtype)
+                    )
+                    for k, v in arrays.items()
+                    if k.startswith(f"ind{j}::")
+                }
+                xc_j, xk_j, y_j = gp._ind_data[j]
+                gp._ind_params.append(p_j)
+                gp._ind_caches.append(posterior_cache(gp._spec, p_j, xc_j, xk_j, y_j))
+                j += 1
+            if gp._ind_params:
+                gp._params = gp._ind_params[0]
+                gp.MAP = {
+                    out: {
+                        k: np.asarray(v)
+                        for k, v in gp._ind_params[gp._ind_output_index(out)].items()
+                    }
+                    for out in gp.outputs
+                }
+            return gp
         if params:
             gp._params = params
             gp.MAP = {k: np.asarray(v) for k, v in params.items()}

@@ -88,6 +88,49 @@ def _joint_samples(spec, params, cache, xc_joint, xk_joint, base_samples, jitter
     return mean[None, :] + base_samples @ L.T  # (S, P)
 
 
+def make_indep_sample_fn(spec, params_list, cache_list, out_col_idx, jitter=DEFAULT_JITTER):
+    """Joint-posterior sampler for a model list (Independent structure).
+
+    The joint covariance across outputs is block-diagonal — each output's
+    rows are sampled from its own sub-model posterior (reference ModelListGP
+    semantics, gumbi/regression/botorch/GP.py:253-267) with the cross-output
+    blocks exactly zero. Row layout follows the qNEHVI convention:
+    candidates output-major (d_out × q rows) then baseline output-major
+    (d_out × nb rows); the output column is dropped from Xk before hitting
+    the sub-model (whose coregs index the reduced Xk).
+    """
+
+    def sample_fn(xc_joint, xk_joint, base_samples, d_out, q, nb):
+        n_cat = xk_joint.shape[1]
+        keep_cols = [c for c in range(n_cat) if c != out_col_idx]
+        ys = jnp.zeros(
+            (base_samples.shape[0], xc_joint.shape[0]), dtype=xc_joint.dtype
+        )
+        for j in range(d_out):
+            idx = jnp.concatenate(
+                [
+                    jnp.arange(j * q, (j + 1) * q),
+                    jnp.arange(d_out * q + j * nb, d_out * q + (j + 1) * nb),
+                ]
+            )
+            xc_j = xc_joint[idx]
+            xk_j = (
+                xk_joint[idx][:, jnp.asarray(keep_cols, dtype=jnp.int32)]
+                if keep_cols
+                else jnp.zeros((q + nb, 0), dtype=jnp.int32)
+            )
+            mean, cov = predict_cov(
+                spec, params_list[j], cache_list[j], xc_j, xk_j, with_noise=False
+            )
+            L = jnp.linalg.cholesky(
+                cov + jitter * jnp.eye(q + nb, dtype=cov.dtype)
+            )
+            ys = ys.at[:, idx].set(mean[None, :] + base_samples[:, idx] @ L.T)
+        return ys
+
+    return sample_fn
+
+
 def _smooth_max(v, tau=1e-2, axis=-1):
     return tau * jax.scipy.special.logsumexp(v / tau, axis=axis)
 
@@ -159,18 +202,24 @@ def qlog_nehvi_2d(
     base_samples,
     ref_point,
     maximize=True,
+    sample_fn=None,
 ):
     """Smoothed log of q-Noisy Expected Hypervolume Improvement (2 outputs).
 
     Candidate/baseline points are evaluated jointly for both outputs (the
     ``xk_*_outputs`` arrays carry the output-coregion index per row). Each MC
     sample computes HV(base ∪ cand) − HV(base) exactly in 2-D.
+    ``sample_fn`` (from :func:`make_indep_sample_fn`) overrides the joint
+    posterior sampler for model-list (Independent) structures.
     """
     q = xc_cand.shape[0] // 2
     nb = xc_base.shape[0] // 2
     xc_joint = jnp.concatenate([xc_cand, xc_base], axis=0)
     xk_joint = jnp.concatenate([xk_cand_outputs, xk_base_outputs], axis=0)
-    ys = _joint_samples(spec, params, cache, xc_joint, xk_joint, base_samples)
+    if sample_fn is None:
+        ys = _joint_samples(spec, params, cache, xc_joint, xk_joint, base_samples)
+    else:
+        ys = sample_fn(xc_joint, xk_joint, base_samples, 2, q, nb)
     if not maximize:
         ys = -ys
 
@@ -219,6 +268,7 @@ def qlog_nehvi_mc(
     d_out,
     maximize=True,
     tau=0.02,
+    sample_fn=None,
 ):
     """Smoothed log qNEHVI for ANY number of outputs via QMC box integration.
 
@@ -243,7 +293,10 @@ def qlog_nehvi_mc(
     nb = xc_base.shape[0] // d_out
     xc_joint = jnp.concatenate([xc_cand, xc_base], axis=0)
     xk_joint = jnp.concatenate([xk_cand_outputs, xk_base_outputs], axis=0)
-    ys = _joint_samples(spec, params, cache, xc_joint, xk_joint, base_samples)
+    if sample_fn is None:
+        ys = _joint_samples(spec, params, cache, xc_joint, xk_joint, base_samples)
+    else:
+        ys = sample_fn(xc_joint, xk_joint, base_samples, d_out, q, nb)
     if not maximize:
         ys = -ys
 

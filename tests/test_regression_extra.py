@@ -220,3 +220,149 @@ def test_multioutput_gradients(cars_ds):
     assert np.all(np.isfinite(raw))
     # On the linear surface every z-space partial is σx/σy-scaled constant > 0
     assert np.all(raw > 0)
+
+
+# ------------------------------------------------------------------
+# Independent (ModelListGP) structure: widened composition
+# (reference gumbi/regression/botorch/GP.py:253-267)
+# ------------------------------------------------------------------
+
+
+def test_independent_matches_per_output_fits(cars_ds):
+    """Exact oracle: the Independent fit IS a list of single-output fits —
+    output j's sub-model must equal a standalone single-output GP fit with
+    the matching restart seed."""
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg", "acceleration"],
+        continuous_dims=["horsepower"],
+        multitask_kernel="Independent",
+        MAP_kwargs=dict(n_restarts=2, maxiter=100),
+    )
+    assert gp._structure == "Independent"
+    for name in ["mpg", "acceleration"]:
+        j = gp._ind_output_index(name)
+        solo = GP(cars_ds)
+        solo.fit(
+            outputs=[name],
+            continuous_dims=["horsepower"],
+            seed=gp.seed + j,
+            MAP_kwargs=dict(n_restarts=2, maxiter=100),
+        )
+        for k, v in solo.MAP.items():
+            np.testing.assert_allclose(
+                np.asarray(gp.MAP[name][k]), np.asarray(v), rtol=1e-6,
+                err_msg=f"{name}:{k}",
+            )
+
+
+def test_independent_with_extra_categorical(cars_ds):
+    """Independent composes with extra categorical dims: the sub-models keep
+    the non-output coregion factors (reference ModelListGP wraps mixed
+    single-task models, ref botorch/GP.py:205-216, :253-267)."""
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg", "acceleration"],
+        continuous_dims=["horsepower"],
+        categorical_dims=["origin"],
+        multitask_kernel="Independent",
+        MAP_kwargs=dict(n_restarts=2, maxiter=80),
+    )
+    assert gp._structure == "Independent"
+    # cross_validate refits via build_model(**model_specs): the structure
+    # choice must survive the round-trip
+    assert gp.model_specs["multitask_kernel"] == "Independent"
+    coreg_names = [cg.name for t in gp._spec.terms for cg in t.coregs]
+    assert coreg_names == ["origin"], coreg_names  # out column dropped
+    assert "W_origin" in gp.MAP["mpg"]
+    gp.prepare_grid(resolution=6)
+    y = gp.predict_grid(categorical_levels={"origin": "usa"})
+    assert y.shape == (6,)
+    assert np.allclose(y.cor, np.eye(2))
+    # Different categorical levels give different surfaces
+    y2 = gp.predict_grid(categorical_levels={"origin": "japan"})
+    assert not np.allclose(
+        y.get("mpg").μ.ravel(), y2.get("mpg").μ.ravel()
+    )
+
+
+def test_independent_additive(cars_ds):
+    """Independent composes with additive structure: each sub-model keeps
+    the global + per-category additive terms."""
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg", "acceleration"],
+        continuous_dims=["horsepower"],
+        categorical_dims=["origin"],
+        additive=True,
+        multitask_kernel="Independent",
+        MAP_kwargs=dict(n_restarts=2, maxiter=60),
+    )
+    assert gp._structure == "Independent"
+    assert len(gp._spec.terms) == 2  # global + origin
+    gp.prepare_grid(resolution=5)
+    y = gp.predict_grid(categorical_levels={"origin": "usa"})
+    assert y.shape == (5,)
+    assert np.allclose(y.cor, np.eye(2))
+
+
+def test_independent_gradients(cars_ds):
+    """Gradient oracle on linear surfaces under the Independent structure
+    (per-output sub-model gradients, ref tests/test_botorch.py:276-340)."""
+    import pandas as pd
+
+    res = 5
+    g1, g2 = np.meshgrid(np.linspace(0, 1, res), np.linspace(0, 1, res))
+    out = g1 + g2
+    df = pd.DataFrame(
+        {
+            "input_0": g1.ravel(),
+            "input_1": g2.ravel(),
+            "output_0": out.ravel(),
+            "output_1": out.ravel() + 0.5,
+        }
+    )
+    ds = DataSet(df, outputs=["output_0", "output_1"])
+    gp = GP(ds)
+    gp.fit(
+        outputs=["output_0", "output_1"],
+        continuous_dims=["input_0", "input_1"],
+        multitask_kernel="Independent",
+        MAP_kwargs=dict(n_restarts=2, maxiter=200),
+    )
+    assert gp._structure == "Independent"
+    gp.prepare_grid(
+        resolution=res * 2,
+        limits=gp.parray(input_0=(0.25, 0.75), input_1=(0.25, 0.75), stdzd=False),
+    )
+    dydX = gp.predict_grid_grad(norm=False)
+    vals = np.concatenate([dydX[n].values().ravel() for n in dydX.names])
+    assert np.allclose(vals, 1.0, atol=0.1), (vals.min(), vals.max())
+    norms = gp.predict_grid_grad(norm=True)
+    nv = np.concatenate([norms[n].values().ravel() for n in norms.names])
+    assert np.allclose(nv, np.sqrt(2), atol=0.1)
+
+
+def test_independent_save_load_roundtrip(cars_ds, tmp_path):
+    """Per-output sub-model parameters survive a save/load roundtrip."""
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg", "acceleration"],
+        continuous_dims=["horsepower"],
+        categorical_dims=["origin"],
+        multitask_kernel="Independent",
+        MAP_kwargs=dict(n_restarts=2, maxiter=60),
+    )
+    gp.prepare_grid(resolution=5)
+    y1 = gp.predict_grid(categorical_levels={"origin": "usa"})
+    path = tmp_path / "ind.npz"
+    gp.save(path)
+    gp2 = GP.load(path, cars_ds)
+    assert gp2._structure == "Independent"
+    gp2.prepare_grid(resolution=5)
+    y2 = gp2.predict_grid(categorical_levels={"origin": "usa"})
+    np.testing.assert_allclose(
+        np.asarray(y1.get("mpg").μ, dtype=float),
+        np.asarray(y2.get("mpg").μ, dtype=float),
+        rtol=1e-10,
+    )
