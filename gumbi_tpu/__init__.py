@@ -49,3 +49,5 @@ parray = ParameterArray  # noqa: F405
 uarray = UncertainArray  # noqa: F405
 uparray = UncertainParameterArray  # noqa: F405
 mvuparray = MVUncertainParameterArray  # noqa: F405
+
+del os  # keep the config-time import out of the public namespace
