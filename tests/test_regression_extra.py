@@ -366,3 +366,58 @@ def test_independent_save_load_roundtrip(cars_ds, tmp_path):
         np.asarray(y2.get("mpg").μ, dtype=float),
         rtol=1e-10,
     )
+
+
+def test_ard_off_shares_one_lengthscale(cars_ds):
+    """ARD=False fits a single shared lengthscale across continuous dims
+    (reference tests/test_botorch.py parametrizes ARD on/off)."""
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg"],
+        continuous_dims=["horsepower", "weight"],
+        ARD=False,
+        MAP_kwargs=dict(n_restarts=2, maxiter=80),
+    )
+    ls = np.asarray(gp.MAP["ls_total"])
+    assert ls.size == 1, ls.shape
+    gp2 = GP(cars_ds)
+    gp2.fit(
+        outputs=["mpg"],
+        continuous_dims=["horsepower", "weight"],
+        ARD=True,
+        MAP_kwargs=dict(n_restarts=2, maxiter=80),
+    )
+    assert np.asarray(gp2.MAP["ls_total"]).size == 2
+    gp.prepare_grid(resolution=5)
+    y = gp.predict_grid()
+    assert np.all(np.isfinite(np.asarray(y.μ, dtype=float)))
+
+
+def test_conditional_prediction_interpolation_oracle(cars_ds):
+    """2-D conditional slice ≈ direct prediction along the slice
+    (reference base.py:1111-1178: scipy interpn over μ and σ2)."""
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg"],
+        continuous_dims=["horsepower", "weight"],
+        MAP_kwargs=dict(n_restarts=2, maxiter=100),
+    )
+    gp.prepare_grid(resolution=21)
+    gp.predict_grid()
+
+    # Condition on the exact middle grid value of weight: the interpolated
+    # slice must match the corresponding row of the full grid prediction.
+    w_mid_z = float(np.asarray(gp.grid_vectors["weight"].z.values()).squeeze()[10])
+    w_mid = float(np.asarray(gp.grid_vectors["weight"].values()).squeeze()[10])
+    grid_mu = np.asarray(gp.predictions.μ, dtype=float)  # (21, 21) ij-indexed
+    cond_x, cond = gp.get_conditional_prediction(weight=w_mid)
+    assert cond.shape == (21,)
+    np.testing.assert_allclose(
+        np.asarray(cond.μ, dtype=float), grid_mu[:, 10], rtol=1e-6,
+        err_msg=f"conditioned at weight={w_mid} (z={w_mid_z})",
+    )
+    np.testing.assert_allclose(
+        np.asarray(cond.σ2, dtype=float),
+        np.asarray(gp.predictions.σ2, dtype=float)[:, 10],
+        rtol=1e-6,
+    )
