@@ -225,7 +225,10 @@ class LayeredArray(np.ndarray):
     Parity: reference gumbi/arrays.py:174-307.
     """
 
-    def __new__(cls, stdzr=None, **arrays):
+    # `cls, /` keeps the class argument positional-only so a data column
+    # named "cls" (e.g. classification labels) lands in **arrays instead of
+    # colliding with it.
+    def __new__(cls, /, stdzr=None, **arrays):
         if not arrays:
             raise ValueError("Must supply at least one array")
         la = _build_structured(arrays).view(cls)
@@ -373,7 +376,7 @@ class ParameterArray(LayeredArray):
     gumbi/arrays.py:310-483.
     """
 
-    def __new__(cls, stdzr: Standardizer, stdzd=False, **arrays):
+    def __new__(cls, /, stdzr: Standardizer, stdzd=False, **arrays):
         if not arrays:
             raise ValueError("Must supply at least one array")
         if stdzd:
@@ -488,7 +491,7 @@ class UncertainArray(np.ndarray):
     reference gumbi/arrays.py:486-858.
     """
 
-    def __new__(cls, name: str, μ, σ2, stdzr=None, **kwargs):
+    def __new__(cls, /, name: str, μ, σ2, stdzr=None, **kwargs):
         μ_ = np.asarray(μ)
         σ2_ = np.asarray(σ2)
         assert μ_.shape == σ2_.shape

@@ -225,3 +225,22 @@ def test_stack_utils():
         pa_out.get("param").values(), np.array([[0, 1, 2, 3, 4, 0, 1, 2, 3, 4]]).T
     )
     assert isinstance(pa_out, parray)
+
+
+def test_reserved_column_names():
+    """Columns named after constructor parameters ('cls') must not collide.
+
+    The class argument in LayeredArray/ParameterArray/UncertainArray __new__
+    is positional-only (`cls, /`), so a data column named "cls" lands in
+    **arrays instead of shadowing the class object.
+    """
+    stdzr = Standardizer(**example_stdzr, log_vars=log_vars, logit_vars=logit_vars)
+
+    la = gmb.LayeredArray(cls=np.arange(3))
+    assert np.allclose(la.get("cls").values(), [0, 1, 2])
+
+    pa = parray(cls=np.arange(3), stdzr=stdzr)
+    assert np.allclose(pa.get("cls").values(), [0, 1, 2])
+
+    ua = uarray("cls", np.zeros(3), np.ones(3))
+    assert ua.name == "cls"
