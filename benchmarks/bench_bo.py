@@ -62,10 +62,13 @@ def main():
         Y.append(objective(x_new) + rng.normal(0, 0.3))
         best_hist.append(max(Y))
     total = time.time() - t0
+    # With ROUNDS=1 there are no post-warmup rounds; fall back to round 0 so
+    # the report degrades gracefully instead of crashing on an empty slice.
+    rest = round_times[1:] if len(round_times) > 1 else round_times
     print(
         f"[bench_bo] round times: first {round_times[0]:.2f}s, "
         f"median {np.median(round_times):.2f}s, max(rest) "
-        f"{max(round_times[1:]):.2f}s",
+        f"{max(rest):.2f}s",
         file=sys.stderr,
     )
 
@@ -81,7 +84,7 @@ def main():
     # cache lottery instead of the campaign. Report the compile-free
     # steady-state as the metric (round 0 replaced by a typical round) and
     # carry the raw total + first-round numbers alongside.
-    steady = float(sum(round_times[1:]) + np.median(round_times[1:]))
+    steady = float(sum(rest) + np.median(rest)) if len(round_times) > 1 else total
     print(
         json.dumps(
             {
@@ -91,7 +94,7 @@ def main():
                 "vs_baseline": None,
                 "total_s": round(total, 2),
                 "first_round_s": round(round_times[0], 2),
-                "median_round_s": round(float(np.median(round_times[1:])), 3),
+                "median_round_s": round(float(np.median(rest)), 3),
             }
         )
     )

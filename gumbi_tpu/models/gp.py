@@ -337,6 +337,11 @@ class GP(Regressor):
                 zp = [float(period.z[d + "_z"].values()) for d in self.continuous_dims]
                 period_z = tuple(zp)
 
+        # Reset per-build padding state up front: the Independent branch
+        # returns early (before the bucket block below), and a stale mask
+        # from a previous bucketed build would corrupt predict/save/propose.
+        self._mask = None
+
         self._build_cat_maps()
         linear_idx = tuple(self.continuous_dims.index(d) for d in self.linear_dims)
 
@@ -688,6 +693,7 @@ class GP(Regressor):
                 params, neg_logp, aux = sharded_fit_gp_map(
                     mesh, self._spec, self._xc, self._xk, self._yz,
                     ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol,
+                    mask=self._mask,
                 )
                 self._cache = posterior_cache(
                     self._spec, params, self._xc, self._xk, self._yz, mask=self._mask
@@ -1432,6 +1438,41 @@ class GP(Regressor):
     # state here is a small pytree, so persistence is one npz file.
     ################################################################################
 
+    def _jsonable_model_specs(self):
+        """model_specs with parray entries (period, ls_bounds) converted to
+        z-space dicts so save() round-trips them instead of stringifying.
+
+        ``json.dumps(..., default=str)`` would silently turn a period parray
+        into a string, and a later ``cross_validate`` on the loaded model
+        (which replays ``build_model(**model_specs)``) would crash on it.
+        """
+        ms = dict(self.model_specs)
+        for key in ("period", "ls_bounds"):
+            pa = ms.get(key)
+            if pa is not None and hasattr(pa, "names"):
+                ms[key] = {
+                    "__parray_z__": {
+                        name: np.asarray(pa[name].z.values(), dtype=float).tolist()
+                        for name in pa.names
+                    }
+                }
+        return ms
+
+    @staticmethod
+    def _restore_model_specs(ms, stdzr):
+        """Inverse of :meth:`_jsonable_model_specs` (z dicts → parrays)."""
+        from ..arrays import ParameterArray
+
+        for key in ("period", "ls_bounds"):
+            v = ms.get(key)
+            if isinstance(v, dict) and "__parray_z__" in v:
+                layers = {
+                    name: np.asarray(vals, dtype=float)
+                    for name, vals in v["__parray_z__"].items()
+                }
+                ms[key] = ParameterArray(stdzr=stdzr, stdzd=True, **layers)
+        return ms
+
     def save(self, path):
         """Serialize the fitted model (spec, MAP, data arrays, config) to .npz."""
         import json
@@ -1453,7 +1494,7 @@ class GP(Regressor):
             "categorical_coords": self.categorical_coords,
             "filter_dims": self.filter_dims,
             "additive": self.additive,
-            "model_specs": self.model_specs,
+            "model_specs": self._jsonable_model_specs(),
             "sparse": self.sparse,
             "structure": self._structure,
             "stdzr_moments": {k: v for k, v in self.stdzr.items()},
@@ -1509,6 +1550,7 @@ class GP(Regressor):
             "sparse",
         ):
             setattr(gp, attr, meta[attr])
+        gp.model_specs = cls._restore_model_specs(gp.model_specs, gp.stdzr)
 
         sd = meta["spec"]
         terms = tuple(

@@ -135,14 +135,17 @@ def ess_gpc_sample(
     def chol_flat(uflat):
         return _chol_K(spec, flat_to_tree(uflat), xc, xk, jitter)
 
-    def target_given_nu(uflat, nu):
-        """Whitened conditional target for the hyper move (NaN → -inf so
-        non-PD proposals are always rejected)."""
-        L = chol_flat(uflat)
+    def target_with_L(uflat, nu, L):
+        """Whitened conditional target at an already-factorized state
+        (NaN → -inf so non-PD proposals are always rejected)."""
         val = log_prior(spec, flat_to_tree(uflat), ls_alpha, ls_beta) + bernoulli_loglik(
             L @ nu, y
         )
-        return jnp.where(jnp.isfinite(val), val, -jnp.inf), L
+        return jnp.where(jnp.isfinite(val), val, -jnp.inf)
+
+    def target_given_nu(uflat, nu):
+        L = chol_flat(uflat)
+        return target_with_L(uflat, nu, L), L
 
     def one_chain(key, u_init):
         key, k_nu = jax.random.split(key)
@@ -157,7 +160,9 @@ def ess_gpc_sample(
                 nu = _ess_step(k, nu, L, y, bernoulli_loglik)
 
             # --- hyper move (random-walk MH on the whitened target) ---
-            t_cur, _ = target_given_nu(u, nu)
+            # The current state's factor L is already in the carry — only the
+            # PROPOSAL pays an O(N³) factorization per step.
+            t_cur = target_with_L(u, nu, L)
             key, k_prop, k_acc = jax.random.split(key, 3)
             u_prop = u + jnp.exp(log_step) * jax.random.normal(
                 k_prop, (d_hyp,), dtype=dtype

@@ -71,12 +71,15 @@ def sharded_fit_gp_map(
     u0s,
     maxiter=250,
     tol=1e-6,
+    mask=None,
 ):
     """Multi-restart MAP fit with restarts sharded over the 'restart' axis.
 
     Data is replicated; the restart batch axis of ``u0s`` is sharded. XLA
     partitions the vmapped L-BFGS across devices and the final argmin induces
-    a cheap cross-device reduction.
+    a cheap cross-device reduction. ``mask`` (0/1 per row) carries bucket
+    padding through to the masked MLL, matching the single-device
+    ``fit_gp_map`` semantics exactly.
     """
     restart_sharding = NamedSharding(mesh, P(("restart", "data")))
     rep = NamedSharding(mesh, P())
@@ -86,17 +89,19 @@ def sharded_fit_gp_map(
     xc, xk, y, ls_alpha, ls_beta = (
         jax.device_put(v, rep) for v in (xc, xk, y, ls_alpha, ls_beta)
     )
+    if mask is not None:
+        mask = jax.device_put(jnp.asarray(mask, dtype=y.dtype), rep)
 
     @partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter",))
-    def run(spec, xc, xk, y, ls_alpha, ls_beta, u0s, maxiter=250, tol=1e-6):
+    def run(spec, xc, xk, y, ls_alpha, ls_beta, u0s, mask, maxiter=250, tol=1e-6):
         def objective(uparams):
-            return map_neg_logp(spec, uparams, xc, xk, y, ls_alpha, ls_beta)
+            return map_neg_logp(spec, uparams, xc, xk, y, ls_alpha, ls_beta, mask=mask)
 
         u_best, f_best, aux = multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
         return constrain(u_best), f_best, aux
 
     with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
-        return run(spec, xc, xk, y, ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol)
+        return run(spec, xc, xk, y, ls_alpha, ls_beta, u0s, mask, maxiter=maxiter, tol=tol)
 
 
 def sharded_fit_kron_map(

@@ -244,3 +244,52 @@ def test_model_level_shard_data_fit():
     p2 = gp2.predict_points(X[:9])
     assert np.allclose(p1.μ, p2.μ, rtol=1e-4)
     assert np.allclose(p1.σ2, p2.σ2, rtol=1e-3)
+
+
+def test_model_level_mesh_fit_respects_bucket_mask():
+    """A bucket-padded fit through find_MAP(mesh=...) must match the
+    single-device bucketed fit: the padded phantom rows are masked out of
+    the MLL, not fit as real y=0 observations."""
+    import gumbi_tpu as gmb
+
+    df = gmb.data.cars(n=20, seed=11)
+    ds = gmb.DataSet(df, outputs=["mpg"], log_vars=["mpg", "horsepower"])
+
+    def build(gp):
+        gp.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+        gp.build_model(bucket=32)
+        assert gp._mask is not None  # 20 → 32 rows padded
+        return gp
+
+    gp1 = build(gmb.GP(ds))
+    gp1.find_MAP(n_restarts=4, maxiter=80)
+
+    mesh = make_mesh(8, restart_axis=4)
+    gp2 = build(gmb.GP(ds))
+    gp2.find_MAP(n_restarts=4, maxiter=80, mesh=mesh)
+
+    assert np.isclose(gp1._neg_logp, gp2._neg_logp, rtol=1e-5)
+    assert np.allclose(gp1.MAP["ls_total"], gp2.MAP["ls_total"], rtol=1e-4)
+
+
+def test_rebuild_clears_stale_bucket_mask():
+    """Rebuilding a model without bucketing on the same GP instance must not
+    carry the previous build's padding mask into predict/save/propose."""
+    import gumbi_tpu as gmb
+
+    df = gmb.data.cars(n=20, seed=5)
+    ds = gmb.DataSet(
+        df, outputs=["mpg", "acceleration"], log_vars=["mpg", "acceleration", "horsepower"]
+    )
+
+    gp = gmb.GP(ds)
+    gp.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+    gp.build_model(bucket=32)
+    assert gp._mask is not None
+
+    # Rebuild through the early-returning Independent branch
+    gp.specify_model(
+        outputs=["mpg", "acceleration"], continuous_dims=["horsepower"]
+    )
+    gp.build_model(multitask_kernel="Independent")
+    assert gp._mask is None

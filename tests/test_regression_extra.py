@@ -421,3 +421,38 @@ def test_conditional_prediction_interpolation_oracle(cars_ds):
         np.asarray(gp.predictions.σ2, dtype=float)[:, 10],
         rtol=1e-6,
     )
+
+
+def test_periodic_save_load_preserves_model_specs(tmp_path):
+    """save()/load() must round-trip parray-valued model_specs (period,
+    ls_bounds) as parrays, not JSON-stringified reprs: the loaded model's
+    cross_validate replays build_model(**model_specs)."""
+    rng = np.random.default_rng(0)
+    import pandas as pd
+
+    x = np.linspace(0, 4, 60)
+    y = np.sin(2 * np.pi * x) + rng.normal(0, 0.1, 60) + 3.0
+    df = pd.DataFrame({"x": x, "y": y})
+    ds = DataSet(df, outputs=["y"])
+    gp = GP(ds)
+    period = gp.parray(x=1.0)
+    gp.fit(
+        outputs=["y"],
+        continuous_dims=["x"],
+        continuous_kernel="Periodic",
+        period=period,
+        MAP_kwargs=dict(n_restarts=2, maxiter=60),
+    )
+    path = tmp_path / "periodic.npz"
+    gp.save(path)
+    gp2 = GP.load(path, ds)
+
+    restored = gp2.model_specs["period"]
+    assert hasattr(restored, "z"), f"period came back as {type(restored)}"
+    assert np.allclose(
+        np.asarray(restored["x"].z.values(), dtype=float),
+        np.asarray(period["x"].z.values(), dtype=float),
+    )
+    # The restored specs must be replayable (this is what cross_validate does)
+    gp2.build_model(**gp2.model_specs)
+    gp2.prepare_grid(resolution=10)
