@@ -822,9 +822,10 @@ class GP(Regressor):
 
         xc, xk = self._split_X(np.asarray(points_array))
         if mesh is not None:
-            if self.sparse or self._mask is not None:
+            if self.sparse:
                 raise NotImplementedError(
-                    "Mesh-sharded prediction supports the dense unbucketed path."
+                    "Mesh-sharded prediction supports the dense path (sparse FITC "
+                    "prediction is cheap enough for one chip)."
                 )
             from ..parallel import sharded_predict_diag
 

@@ -58,7 +58,15 @@ def _ess_step(key, nu, L, y, loglik):
     """
     k1, k2, k3, k4 = jax.random.split(key, 4)
     z = jax.random.normal(k1, nu.shape, dtype=nu.dtype)
-    log_y = loglik(L @ nu, y) + jnp.log(jax.random.uniform(k2, dtype=nu.dtype))
+
+    def safe_loglik(f):
+        # NaN from a non-finite L (non-PD gram at this state) must read as
+        # -inf: NaN comparisons are all-False, which would otherwise make
+        # the shrink loop spin forever on device.
+        v = loglik(f, y)
+        return jnp.where(jnp.isfinite(v), v, -jnp.inf)
+
+    log_y = safe_loglik(L @ nu) + jnp.log(jax.random.uniform(k2, dtype=nu.dtype))
     theta = jax.random.uniform(k3, dtype=nu.dtype) * (2.0 * jnp.pi)
     lo, hi = theta - 2.0 * jnp.pi, theta
 
@@ -66,20 +74,26 @@ def _ess_step(key, nu, L, y, loglik):
         return nu * jnp.cos(t) + z * jnp.sin(t)
 
     def trial(state):
-        t, lo, hi, key, _ = state
-        ok = loglik(L @ proposal(t), y) > log_y
+        t, lo, hi, key, _, i = state
+        ok = safe_loglik(L @ proposal(t)) > log_y
         # On rejection, shrink the bracket toward 0 and redraw the angle.
         lo = jnp.where(ok | (t >= 0), lo, t)
         hi = jnp.where(ok | (t < 0), hi, t)
         key, sub = jax.random.split(key)
         t_new = jax.random.uniform(sub, dtype=nu.dtype) * (hi - lo) + lo
-        return (jnp.where(ok, t, t_new), lo, hi, key, ok)
+        return (jnp.where(ok, t, t_new), lo, hi, key, ok, i + 1)
 
     # First trial at the initial angle, then shrink until accepted. ESS
     # accepts in finitely many steps (the bracket always contains t=0,
-    # where the proposal equals the current state and passes the slice).
-    state = trial((theta, lo, hi, k4, False))
-    t, *_ = jax.lax.while_loop(lambda s: ~s[4], trial, state)
+    # where the proposal equals the current state and passes the slice) —
+    # EXCEPT when the likelihood is -inf everywhere (non-finite L): then no
+    # angle can pass, so a trial bound backstops the loop and the step
+    # degrades to a no-op (t=0 keeps the current state).
+    state = trial((theta, lo, hi, k4, False, jnp.int32(0)))
+    t, _, _, _, accepted, _ = jax.lax.while_loop(
+        lambda s: (~s[4]) & (s[5] < 200), trial, state
+    )
+    t = jnp.where(accepted, t, jnp.zeros_like(t))
     return proposal(t)
 
 
@@ -168,7 +182,10 @@ def ess_gpc_sample(
                 k_prop, (d_hyp,), dtype=dtype
             )
             t_prop, L_prop = target_given_nu(u_prop, nu)
+            # -inf − -inf = NaN would poison the Robbins-Monro step size and
+            # every subsequent proposal; treat it as a rejection.
             log_alpha = t_prop - t_cur
+            log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
             accept_prob = jnp.exp(jnp.minimum(log_alpha, 0.0))
             ok = jnp.log(jax.random.uniform(k_acc, dtype=dtype)) < log_alpha
             u = jnp.where(ok, u_prop, u)

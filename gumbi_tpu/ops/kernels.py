@@ -30,9 +30,19 @@ _PALLAS_ENABLED = os.environ.get("GUMBI_TPU_PALLAS", "0") == "1"
 
 
 def enable_pallas(on: bool = True):
-    """Toggle the Pallas RBF Gram fast path (TPU only)."""
+    """Toggle the Pallas RBF Gram fast path (TPU only).
+
+    The flag is read at TRACE time, so already-compiled programs (module-
+    level jits for mll/posterior/fit) would silently keep their old Gram
+    path; clearing the jit caches on an actual flip makes the toggle take
+    effect for subsequent calls at the cost of recompiles.
+    """
     global _PALLAS_ENABLED
-    _PALLAS_ENABLED = on
+    if on != _PALLAS_ENABLED:
+        _PALLAS_ENABLED = on
+        import jax
+
+        jax.clear_caches()
 
 
 def _pallas_active() -> bool:

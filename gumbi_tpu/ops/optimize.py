@@ -216,14 +216,14 @@ def multi_restart_minimize(fun, x0s, maxiter=250, tol=1e-6, chunk=None, mode=Non
     R = jax.tree_util.tree_leaves(x0s)[0].shape[0]
 
     if mode == "sequential":
-        runner = lambda x0: lbfgs_backtracking_minimize(fun, x0, maxiter=maxiter)
+        runner = lambda x0: lbfgs_backtracking_minimize(fun, x0, maxiter=maxiter, ftol=tol)
         xs, fs, its = jax.lax.map(runner, x0s)
     else:
         if jax.default_backend() == "tpu":
             # Backtracking line search: a much smaller traced program than the
             # zoom search (nested while-of-while), which compiles slowly and
             # has faulted TPU workers at large N on this toolchain.
-            runner = lambda x0: lbfgs_backtracking_minimize(fun, x0, maxiter=maxiter)
+            runner = lambda x0: lbfgs_backtracking_minimize(fun, x0, maxiter=maxiter, ftol=tol)
         else:
             runner = lambda x0: lbfgs_minimize(fun, x0, maxiter=maxiter, tol=tol)
         if chunk is None or chunk >= R:

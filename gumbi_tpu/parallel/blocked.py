@@ -35,7 +35,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:
     from jax import shard_map  # JAX ≥ 0.7 public API
@@ -148,16 +148,13 @@ def _local_diag_block(Mrows, axis=AXIS):
     return jax.lax.dynamic_slice(Mrows, (zero, p * nb), (nb, nb))
 
 
-def _pad_to(n, n_shards):
-    return (-n) % n_shards
-
-
 def blocked_cholesky(mesh: Mesh, K):
     """Lower Cholesky factor of SPD ``K`` with rows sharded over 'data'.
 
-    ``K``: (N, N) with N divisible by the 'data' extent (pad with identity
-    rows otherwise). Returns L with the same row sharding; per-device memory
-    O(N²/P).
+    ``K``: (N, N) with N divisible by the 'data' extent — callers pad with
+    identity rows first (``sharded_gram_mll`` does; see
+    ``parallel/sharded.py``). Returns L with the same row sharding;
+    per-device memory O(N²/P).
     """
     n_shards = mesh.shape[AXIS]
 
@@ -183,9 +180,30 @@ def dist_quad_and_logdet(mesh: Mesh, K, y):
     cotangents K̄ = ḡ_logdet·K⁻¹ − ḡ_quad·ααᵀ assembled blockwise from a
     distributed triangular inverse — no factorization is ever differentiated
     and no device materializes more than its (N/P, N) row block.
+
+    The undifferentiated primal skips the backward substitution entirely:
+    quad = |w|² with w = L⁻¹y, so value-only line-search trials (the common
+    case in the large-N fit) pay one distributed solve, not two — the same
+    one-solve primal trick as the single-device ``quad_and_logdet``.
     """
-    quad, logdet, _, _ = _dist_qld_fwd_impl(mesh, K, y)
-    return quad, logdet
+    n_shards = mesh.shape[AXIS]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(Krows, y_local):
+        Lrows = _local_blocked_cholesky(Krows, n_shards)
+        w_local = _local_forward_solve(Lrows, y_local, n_shards)
+        quad = jax.lax.psum(jnp.sum(w_local * w_local), AXIS)
+        diag = jnp.diagonal(_local_diag_block(Lrows))
+        logdet = 2.0 * jax.lax.psum(jnp.sum(jnp.log(diag)), AXIS)
+        return quad, logdet
+
+    return run(K, y)
 
 
 def _dist_qld_fwd_impl(mesh: Mesh, K, y):

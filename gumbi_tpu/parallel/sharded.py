@@ -235,14 +235,22 @@ def data_sharded_fit_gp_map(
     )
     R = jax.tree_util.tree_leaves(u0s)[0].shape[0]
     best = (None, jnp.inf, None)
-    all_vals = []
+    all_vals, all_iters = [], []
     for r in range(R):
         u0 = jax.tree_util.tree_map(lambda leaf: leaf[r], u0s)
         x_r, f_r, it_r = run_one(u0)
         all_vals.append(float(f_r))
-        if float(f_r) < float(best[1]):
+        all_iters.append(int(it_r))
+        # <= so that even if EVERY restart diverges to +inf we still return
+        # the (inf-valued) last iterate instead of crashing on constrain(None)
+        # — mirroring multi_restart_minimize's graceful argmin-over-inf.
+        if best[0] is None or float(f_r) < float(best[1]):
             best = (x_r, f_r, it_r)
-    aux = {"all_values": jnp.asarray(all_vals), "best_restart": int(np.argmin(all_vals))}
+    aux = {
+        "all_values": jnp.asarray(all_vals),
+        "iters": jnp.asarray(all_iters),
+        "best_restart": int(np.argmin(all_vals)),
+    }
     return constrain(best[0]), best[1], aux
 
 
@@ -257,15 +265,22 @@ def sharded_predict_diag(mesh: Mesh, spec: GPSpec, params, cache, xc_new, xk_new
     pad = (-m) % n_data
     xc_p = jnp.pad(xc_new, ((0, pad), (0, 0)))
     xk_p = jnp.pad(xk_new, ((0, pad), (0, 0)))
+    # Bucket-padded caches carry identity rows in L; the cross-Gram columns
+    # at those rows must be zeroed (same as ops.posterior.predict_diag) or
+    # the |V|² term wrongly shrinks the variance.
+    mask = cache.mask if cache.mask is not None else jnp.ones(
+        cache.xc.shape[0], dtype=cache.L.dtype
+    )
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P("data", None), P("data", None)),
+        in_specs=(P(), P(), P(), P(), P(), P(), P("data", None), P("data", None)),
         out_specs=(P("data"), P("data")),
     )
-    def block(params, L, alpha, xc, xk, xc_blk, xk_blk):
+    def block(params, L, alpha, xc, xk, mask, xc_blk, xk_blk):
         Ks = gram(spec, params, xc_blk, xk_blk, xc, xk)
+        Ks = Ks * mask[None, :]
         mean = Ks @ alpha
         V = jsl.solve_triangular(L, Ks.T, lower=True)
         var = gram_diag(spec, params, xc_blk, xk_blk) - jnp.sum(V * V, axis=0)
@@ -274,7 +289,7 @@ def sharded_predict_diag(mesh: Mesh, spec: GPSpec, params, cache, xc_new, xk_new
             var = var + noise_diag(spec, params, xk_blk, dtype=var.dtype)
         return mean, var
 
-    mean, var = block(params, cache.L, cache.alpha, cache.xc, cache.xk, xc_p, xk_p)
+    mean, var = block(params, cache.L, cache.alpha, cache.xc, cache.xk, mask, xc_p, xk_p)
     return mean[:m], var[:m]
 
 

@@ -288,3 +288,35 @@ def test_gpc_latent_full_bayes_matches_laplace():
     assert p_ess[0] < 0.3 and p_ess[-1] > 0.7
     assert np.all(np.diff(p_ess) > 0)
     assert np.allclose(p_ess, p_laplace, atol=0.15)
+
+
+def test_ess_step_terminates_on_nonfinite_factor():
+    """A NaN Cholesky factor (non-PD gram at f32) must degrade the ESS
+    update to a no-op instead of spinning the bracket-shrink loop forever."""
+    import jax
+
+    from gumbi_tpu.ops.ess import _ess_step, bernoulli_loglik
+
+    n = 8
+    key = jax.random.PRNGKey(0)
+    nu = jax.random.normal(jax.random.PRNGKey(1), (n,))
+    y = jnp.asarray(np.arange(n) % 2, dtype=nu.dtype)
+    L_bad = jnp.full((n, n), jnp.nan, dtype=nu.dtype)
+    out = jax.jit(_ess_step, static_argnums=4)(key, nu, L_bad, y, bernoulli_loglik)
+    # Terminates (the assertion would never be reached on a hang) and keeps
+    # the current state: proposal(t=0) == nu.
+    assert np.allclose(np.asarray(out), np.asarray(nu))
+
+
+def test_ess_step_normal_operation_moves():
+    import jax
+
+    from gumbi_tpu.ops.ess import _ess_step, bernoulli_loglik
+
+    n = 8
+    nu = jax.random.normal(jax.random.PRNGKey(1), (n,))
+    y = jnp.asarray(np.arange(n) % 2, dtype=nu.dtype)
+    L = jnp.eye(n, dtype=nu.dtype)
+    out = jax.jit(_ess_step, static_argnums=4)(jax.random.PRNGKey(2), nu, L, y, bernoulli_loglik)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert not np.allclose(np.asarray(out), np.asarray(nu))

@@ -293,3 +293,25 @@ def test_rebuild_clears_stale_bucket_mask():
     )
     gp.build_model(multitask_kernel="Independent")
     assert gp._mask is None
+
+
+def test_sharded_predict_diag_respects_bucket_mask(problem):
+    """A bucket-padded PosteriorCache must give the same predictions sharded
+    as on one device: phantom-row cross-Gram columns are masked out."""
+    spec, params, xc, xk, y = problem
+    n = xc.shape[0]
+    pad = 16
+    mask = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)])
+    xc_p = jnp.concatenate([xc, jnp.zeros((pad, xc.shape[1]))])
+    xk_p = jnp.concatenate([xk, jnp.zeros((pad, xk.shape[1]), dtype=xk.dtype)])
+    y_p = jnp.concatenate([y, jnp.zeros(pad)])
+    cache = posterior_cache(spec, params, xc_p, xk_p, y_p, mask=mask)
+
+    xs = jnp.linspace(-2.2, 2.2, 24)[:, None]
+    ks = jnp.zeros((24, xk.shape[1]), dtype=xk.dtype)
+    m1, v1 = predict_diag(spec, params, cache, xs, ks)
+
+    mesh = make_mesh(8, restart_axis=2)
+    m2, v2 = sharded_predict_diag(mesh, spec, params, cache, xs, ks)
+    assert np.allclose(np.asarray(m1), np.asarray(m2), atol=1e-10)
+    assert np.allclose(np.asarray(v1), np.asarray(v2), atol=1e-10)
