@@ -106,7 +106,10 @@ class Standardizer(dict):
 
     @transforms.setter
     def transforms(self, dct):
-        self._transforms = dct
+        # Copy: assigning a dict shared with another Standardizer (e.g. the
+        # result of `a | b`) must not alias their registries — later
+        # log_vars/logit_vars edits on one would silently retune the other.
+        self._transforms = {k: list(v) for k, v in dct.items()}
         self._log_vars = [v for v, pair in dct.items() if pair[0] is np.log]
         self._logit_vars = [v for v, pair in dct.items() if pair[0] is logit]
 

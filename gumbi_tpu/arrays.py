@@ -250,10 +250,21 @@ class LayeredArray(np.ndarray):
             )
         args = [_unwrap(arg) if isinstance(arg, LayeredArray) else arg for arg in inputs]
 
-        outputs = kwargs.get("out")
+        # ``out`` arrives as the named parameter (NOT in kwargs — reading
+        # kwargs here silently dropped every out= request, including the one
+        # behind augmented assignment). LayeredArray targets are passed as
+        # genuine field VIEWS so the ufunc writes through to their buffers
+        # (_unwrap's astype would copy).
+        outputs = out
         if outputs:
+
+            def _out_view(o):
+                if len(o.names) > 1:
+                    raise ValueError("Cannot operate on array with multiple layer names")
+                return o.view(np.ndarray)[o.names[0]]
+
             kwargs["out"] = tuple(
-                _unwrap(o) if isinstance(o, LayeredArray) else o for o in outputs
+                _out_view(o) if isinstance(o, LayeredArray) else o for o in outputs
             )
         else:
             outputs = (None,) * ufunc.nout
@@ -899,7 +910,7 @@ class MVUncertainParameterArray(np.ndarray):
         if isinstance(name, list):
             idxs = [self.names.index(n) for n in name]
             return self.mvuparray(
-                [self.get(n) for n in name], cor=self.cor[np.ix_(idxs, idxs)]
+                *[self.get(n) for n in name], cor=self.cor[np.ix_(idxs, idxs)]
             )
 
     @property
@@ -973,6 +984,36 @@ class MVUncertainParameterArray(np.ndarray):
                 "Multidimensional multivariate distributions are not yet supported."
             )
         return MultivariateNormalish(mean=self.μ, cov=self.cov(stdzd=True))
+
+    def nlpd(self, target) -> np.ndarray:
+        """Marginal negative log posterior density of ``target`` per output.
+
+        ``target`` is a structured array (or LayeredArray/dict) carrying one
+        field per output name. Returns an array stacked over outputs — the
+        joint (correlated) density is available via ``.dist`` for 0-d arrays.
+        Reference parity note: the reference defines nlpd only on
+        UncertainArray (ref arrays.py:668), so its multi-output
+        cross-validation path crashes here; this method makes multi-output
+        cross_validate work.
+        """
+        if isinstance(target, LayeredArray):
+            target = target.values()
+        if isinstance(target, np.ndarray) and target.dtype.names:
+            target = {name: target[name] for name in target.dtype.names}
+        elif isinstance(target, np.ndarray):
+            # LayeredArray.values() stacks layers on the leading axis in
+            # name order — accept that layout directly.
+            if target.shape[0] != len(self.names):
+                raise ValueError(
+                    f"target leading axis ({target.shape[0]}) must match the "
+                    f"number of outputs ({len(self.names)})"
+                )
+            target = {name: target[i] for i, name in enumerate(self.names)}
+        if not isinstance(target, dict):
+            raise TypeError(
+                "mvuparray.nlpd needs a structured target with one field per output"
+            )
+        return np.stack([self.get(name).nlpd(np.asarray(target[name])) for name in self.names])
 
     def mahalanobis(self, parray: ParameterArray) -> float:
         """Mahalanobis distance between this distribution and a point."""

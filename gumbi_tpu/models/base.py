@@ -646,13 +646,25 @@ class Regressor(ABC):
                 "Specified size of training set exceeds number of unique combinations found in `dims`"
             )
 
-        if warm_start and len(self.categorical_dims) > 0:
-            # One random observation per categorical level combination
-            level_combinations = list(product(*self.categorical_levels.values()))
+        warm_cat_dims = [d for d in self.categorical_dims if d != self.out_col]
+        if warm_start and len(warm_cat_dims) > 0:
+            # One random observation per categorical level combination. The
+            # output column is excluded: it is a tidy-only construct (wide
+            # rows carry all outputs), so grouping by it raises KeyError on
+            # any multi-output model (reference bug, ref base.py:967); the
+            # reference's filter condition is also inverted for tuple group
+            # names — the intent is to KEEP groups in the specified levels.
+            level_combinations = set(
+                product(*(self.categorical_levels[d] for d in warm_cat_dims))
+            )
+
+            def _grp_key(name):
+                return (name,) if len(warm_cat_dims) == 1 else tuple(name)
+
             cat_grps = (
-                df.groupby(self.categorical_dims)
-                .filter(lambda grp: grp.name not in level_combinations)
-                .groupby(self.categorical_dims)
+                df.groupby(warm_cat_dims)
+                .filter(lambda grp: _grp_key(grp.name) in level_combinations)
+                .groupby(warm_cat_dims)
             )
             if cat_grps.ngroups == 0:
                 raise ValueError(
@@ -690,6 +702,9 @@ class Regressor(ABC):
         )
 
         def _subset_specs(sub_df):
+            # The out_col is tidy-only (wide rows carry all outputs at once),
+            # so its levels — the outputs — are kept verbatim rather than
+            # probed against the wide frame's columns.
             return {
                 **specifications,
                 "continuous_levels": {
@@ -697,7 +712,11 @@ class Regressor(ABC):
                     for dim, lvls in self.continuous_levels.items()
                 },
                 "categorical_levels": {
-                    dim: [lvl for lvl in lvls if lvl in sub_df[dim].values]
+                    dim: (
+                        lvls
+                        if dim == self.out_col
+                        else [lvl for lvl in lvls if lvl in sub_df[dim].values]
+                    )
                     for dim, lvls in self.categorical_levels.items()
                 },
                 "continuous_coords": {
@@ -728,14 +747,22 @@ class Regressor(ABC):
         train_obj.build_model(**self.model_specs)
         train_obj.find_MAP(**MAP_kws)
 
+        def _error(y, predictions):
+            # Multi-output predictions carry μ as a multi-layer parray —
+            # compare plain values stacked in output order (y shares it).
+            yv, mu = {
+                "natural": lambda: (y.values(), predictions.μ),
+                "transformed": lambda: (y.t.values(), predictions.t.μ),
+                "standardized": lambda: (y.z.values(), predictions.z.μ),
+            }[errors]()
+            if isinstance(mu, parray):
+                mu = mu.values()
+            return yv - np.asarray(mu)
+
         train_X, train_y = train_obj.get_structured_data()
         train_predictions = train_obj.predict_points(train_X)
         train_nlpd = train_predictions.nlpd(train_y.values())
-        train_error = {
-            "natural": train_y.values() - train_predictions.μ,
-            "transformed": train_y.t.values() - train_predictions.t.μ,
-            "standardized": train_y.z.values() - train_predictions.z.μ,
-        }[errors]
+        train_error = _error(train_y, train_predictions)
 
         if len(test_df.index.unique()) > 0:
             test_obj = self.__class__(test_ds, outputs=self.outputs, seed=seed)
@@ -746,11 +773,7 @@ class Regressor(ABC):
             test_X, test_y = test_obj.get_structured_data()
             test_predictions = train_obj.predict_points(test_X)
             test_nlpd = test_predictions.nlpd(test_y.values())
-            test_error = {
-                "natural": test_y.values() - test_predictions.μ,
-                "transformed": test_y.t.values() - test_predictions.t.μ,
-                "standardized": test_y.z.values() - test_predictions.z.μ,
-            }[errors]
+            test_error = _error(test_y, test_predictions)
         else:
             test_nlpd = np.nan
             test_error = np.nan

@@ -244,19 +244,24 @@ class GP(Regressor):
         lowers = [None] * n_sets
         uppers = [None] * n_sets
         if ls_bounds is not None:
-            zb = []
+            # Assign bounds BY NAME, one slot per continuous dim: positional
+            # packing (as in the reference, ref pymc/GP.py:634-640) silently
+            # shifts a partial bound set onto the wrong dimensions.
+            user = []
             for dim in self.continuous_dims:
+                b = [None, None]
                 if dim in ls_bounds.names:
                     vals = ls_bounds[dim].z.values().squeeze()
-                    zb.append([None if np.isnan(v) else float(v) for v in np.atleast_1d(vals)])
-            if not ARD and len(zb) != 1:
-                raise ValueError(
-                    "Bounds must be specified for only a single dimension if ARD is False"
-                )
-            user = [b + [None] * (2 - len(b)) for b in zb]
-            if len(user) == 1:
-                user = user * n_sets
-            user = user + [[None, None]] * (n_sets - len(user))
+                    given = [None if np.isnan(v) else float(v) for v in np.atleast_1d(vals)]
+                    b = (given + [None] * 2)[:2]
+                user.append(b)
+            named = [b for b in user if b != [None, None]]
+            if not ARD:
+                if len(named) != 1:
+                    raise ValueError(
+                        "Bounds must be specified for only a single dimension if ARD is False"
+                    )
+                user = named  # the one shared lengthscale set
             lowers = [b[0] for b in user[:n_sets]]
             uppers = [b[1] for b in user[:n_sets]]
         return parse_ls_limits(np.asarray(X_s), ARD=ARD, lower=lowers, upper=uppers)
@@ -977,7 +982,10 @@ class GP(Regressor):
         from ..ops.mll import map_neg_logp
 
         def logp(uparams):
-            return -map_neg_logp(self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta)
+            return -map_neg_logp(
+                self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta,
+                mask=self._mask,
+            )
 
         if self._params is not None:
             q0 = unconstrain(self._params)
@@ -1056,7 +1064,9 @@ class GP(Regressor):
             rows = []
             for i, idx in enumerate(idxs):
                 p = {k: jnp.asarray(v[idx], dtype=self._dtype) for k, v in flat.items()}
-                cache_i = posterior_cache(self._spec, p, self._xc, self._xk, self._yz)
+                cache_i = posterior_cache(
+                    self._spec, p, self._xc, self._xk, self._yz, mask=self._mask
+                )
                 s = draw_samples(
                     self._spec, p, cache_i, xc, xk, jax.random.fold_in(key, i),
                     n_samples=1, with_noise=with_noise,
@@ -1144,11 +1154,16 @@ class GP(Regressor):
         d = len(self.continuous_dims)
         d_out = len(self.outputs)
 
-        # Bounds in z-space over the continuous dims
+        # Bounds in z-space over the continuous dims. Bucketed fits pad
+        # self._xc with zero rows — excluded here, or the search box would
+        # stretch to the z-space origin regardless of the data's range.
         xc_train = np.asarray(self._xc)
+        n_real_rows = (
+            int(np.asarray(self._mask).sum()) if self._mask is not None else xc_train.shape[0]
+        )
         if bounds is None:
             # Unique locations (first output block if multi-output)
-            lo, hi = xc_train.min(0), xc_train.max(0)
+            lo, hi = xc_train[:n_real_rows].min(0), xc_train[:n_real_rows].max(0)
         else:
             from ..arrays import ParameterArray
 
@@ -1169,7 +1184,7 @@ class GP(Regressor):
         # observations at the origin and make the joint covariance
         # near-singular), so slice to the real rows first.
         rng = np.random.default_rng(seed)
-        n_real = int(np.asarray(self._mask).sum()) if self._mask is not None else xc_train.shape[0]
+        n_real = n_real_rows
         if d_out == 1:
             base_locs = xc_train[:n_real]
         else:

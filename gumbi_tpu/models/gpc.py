@@ -53,6 +53,17 @@ class GPC(GP):
             raise NotImplementedError("The GPC does not support heteroskedastic outputs.")
         if sparse:
             raise NotImplementedError("The GPC does not support sparse structure (yet).")
+        if bucket is not None:
+            raise NotImplementedError(
+                "Bucket padding is not implemented for the classifier: the "
+                "Laplace inner Newton has no masked-likelihood form yet."
+            )
+        if multitask_kernel not in (None, "Hadamard"):
+            raise NotImplementedError(
+                "The GPC latent model is always the tall Hadamard structure "
+                "(Kronecker/Independent reformulations assume a Gaussian "
+                "likelihood)."
+            )
         assert_in("Continuous kernel", continuous_kernel, CONTINUOUS_KERNELS)
 
         # Reuse the regression build for spec/data/prior construction, then

@@ -212,7 +212,10 @@ class ParrayPlotter:
         if ci_style in ("fill", "band"):
             ax.fill_between(self.x_, lo, hi, **kwargs)
         elif ci_style in ("errorbar", "bar"):
-            ax.errorbar(self.x_, mid, mid - lo, hi - mid, **kwargs)
+            # Asymmetric vertical CI: (2, N) yerr. The reference passes
+            # hi−mid as the 4th positional arg — matplotlib's XERR — drawing
+            # spurious horizontal bars (ref plotting.py:261).
+            ax.errorbar(self.x_, mid, yerr=np.stack([mid - lo, hi - mid]), **kwargs)
         else:
             raise ValueError("ci_style must be one of ['fill', 'band', 'errorbar', 'bar']")
         return ax

@@ -244,3 +244,32 @@ def test_reserved_column_names():
 
     ua = uarray("cls", np.zeros(3), np.ones(3))
     assert ua.name == "cls"
+
+
+def test_ufunc_out_writes_through():
+    """np.add(..., out=target) must actually write into the target's buffer
+    (the out= argument was previously dropped silently)."""
+    la = gmb.LayeredArray(a=np.array([1.0, 2.0]))
+    target = gmb.LayeredArray(a=np.zeros(2))
+    res = np.add(la, 1.0, out=target)
+    assert np.allclose(target.get("a").values(), [2.0, 3.0])
+    assert res is target
+
+
+def test_mvuparray_get_subset():
+    stdzr = Standardizer(**example_stdzr, log_vars=log_vars, logit_vars=logit_vars)
+    cor = np.array([[1.0, 0.5, 0.2], [0.5, 1.0, 0.1], [0.2, 0.1, 1.0]])
+    ups = [uparray(n, np.ones(4) * (i + 1), np.ones(4) * 0.1, stdzr) for i, n in enumerate("dcf")]
+    mv = mvuparray(*ups, cor=cor)
+    sub = mv.get(["d", "f"])
+    assert list(sub.names) == ["d", "f"]
+    assert np.allclose(sub.cor, cor[np.ix_([0, 2], [0, 2])])
+
+
+def test_standardizer_merge_does_not_alias_transforms():
+    stdzr = Standardizer(**example_stdzr, log_vars=log_vars, logit_vars=logit_vars)
+    merged = stdzr | {"new_var": {"μ": 1.0, "σ2": 4.0}}
+    before = {k: list(v) for k, v in stdzr.transforms.items()}
+    merged.log_vars = list(merged.log_vars) + ["a"]
+    after = {k: list(v) for k, v in stdzr.transforms.items()}
+    assert before == after, "merging then editing the result mutated the original"

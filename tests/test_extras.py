@@ -320,3 +320,45 @@ def test_ess_step_normal_operation_moves():
     out = jax.jit(_ess_step, static_argnums=4)(jax.random.PRNGKey(2), nu, L, y, bernoulli_loglik)
     assert np.all(np.isfinite(np.asarray(out)))
     assert not np.allclose(np.asarray(out), np.asarray(nu))
+
+
+def test_cross_validate_warm_start_multioutput(small_ds):
+    """warm_start=True on a multi-output model: the output column is a
+    tidy-only construct and must not be used to group the wide frame
+    (previously KeyError: the out_col is not a wide column)."""
+    gp = gmb.GP(small_ds)
+    gp.specify_model(outputs=["mpg", "acceleration"], continuous_dims=["horsepower"])
+    result = gp.cross_validate(pct_train=0.7, warm_start=True, n_restarts=2, maxiter=60)
+    assert set(result.keys()) == {"train", "test"}
+    assert np.isfinite(result["train"]["NLPDs"]).all()
+
+
+def test_cross_validate_warm_start_categorical():
+    """With a real categorical dim, warm_start guarantees every level
+    appears in the training set (the filter must KEEP in-level groups)."""
+    df = gmb.data.cars(n=60, seed=2)
+    ds = gmb.DataSet(df, outputs=["mpg"], log_vars=["mpg", "horsepower"])
+    gp = gmb.GP(ds)
+    gp.specify_model(
+        outputs=["mpg"], continuous_dims=["horsepower"], categorical_dims=["origin"]
+    )
+    result = gp.cross_validate(n_train=12, warm_start=True, n_restarts=2, maxiter=60)
+    train_levels = set(result["train"]["data"].wide["origin"])
+    assert train_levels == set(gp.categorical_levels["origin"])
+
+
+def test_gpc_rejects_bucket_and_multitask():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-2, 2, 30)
+    df = pd.DataFrame({"x": x, "label": (x > 0).astype(float)})
+    ds = gmb.DataSet(df, outputs=["label"])
+    with pytest.raises(NotImplementedError, match="[Bb]ucket"):
+        gmb.GPC(ds).fit(
+            outputs=["label"], continuous_dims=["x"],
+            heteroskedastic_outputs=False, bucket=16,
+        )
+    with pytest.raises(NotImplementedError, match="Hadamard"):
+        gmb.GPC(ds).fit(
+            outputs=["label"], continuous_dims=["x"],
+            heteroskedastic_outputs=False, multitask_kernel="Kronecker",
+        )
