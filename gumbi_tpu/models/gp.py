@@ -1019,29 +1019,40 @@ class GP(Regressor):
         ``source=None`` uses the MAP hyperparameters; passing the dict
         returned by :meth:`sample` integrates over the hyperparameter
         posterior (one function draw per subsampled hyperparameter draw).
+
+        Multiple outputs draw JOINTLY: the tall prediction stack carries the
+        output coordinate, so the coregion (ICM) covariance correlates the
+        outputs within each draw — a capability the reference declares
+        NotImplemented (reference gumbi/regression/pymc/GP.py:898). For the
+        ``Independent`` structure, outputs are uncorrelated by construction
+        and are drawn from their per-output models (exact by definition).
+        Returns a parray with one layer per output, shape (n_samples, n_points).
         """
         output = self._parse_prediction_output(output)
-        if len(output) > 1:
-            raise NotImplementedError(
-                "Drawing correlated samples of multiple outputs is not yet implemented."
-            )
         points_array, _, _ = self._prepare_points_for_prediction(points, output=output)
         xc, xk = self._split_X(np.asarray(points_array))
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
+        d_out = len(output)
+        n_pts = xc.shape[0] // d_out
 
         if source is None or source is self.MAP:
             if self._structure == "Independent":
-                j = self._ind_output_index(output[0])
-                samples = draw_samples(
-                    self._spec,
-                    self._ind_params[j],
-                    self._ind_caches[j],
-                    xc,
-                    self._reduced_xk(np.asarray(xk)),
-                    key,
-                    n_samples=n_samples,
-                    with_noise=with_noise,
-                )
+                blocks = []
+                for i, name in enumerate(output):
+                    j = self._ind_output_index(name)
+                    sl = slice(i * n_pts, (i + 1) * n_pts)
+                    s = draw_samples(
+                        self._spec,
+                        self._ind_params[j],
+                        self._ind_caches[j],
+                        xc[sl],
+                        self._reduced_xk(np.asarray(xk[sl])),
+                        jax.random.fold_in(key, i),
+                        n_samples=n_samples,
+                        with_noise=with_noise,
+                    )
+                    blocks.append(np.asarray(s))
+                out = np.stack(blocks, axis=1)  # (n_samples, d_out, n_pts)
             else:
                 samples = draw_samples(
                     self._spec,
@@ -1053,7 +1064,7 @@ class GP(Regressor):
                     n_samples=n_samples,
                     with_noise=with_noise,
                 )
-            out = np.asarray(samples)
+                out = np.asarray(samples).reshape(n_samples, d_out, n_pts)
         else:
             # Hyperparameter-posterior-integrated draws: subsample the trace
             trace = {k: v for k, v in source.items() if not k.startswith("_")}
@@ -1072,9 +1083,11 @@ class GP(Regressor):
                     n_samples=1, with_noise=with_noise,
                 )
                 rows.append(np.asarray(s)[0])
-            out = np.stack(rows)
+            out = np.stack(rows).reshape(n_samples, d_out, n_pts)
 
-        self.predictions = self.parray(**{output[0]: out}, stdzd=True)
+        self.predictions = self.parray(
+            **{name: out[:, i] for i, name in enumerate(output)}, stdzd=True
+        )
         self.predictions_X = points
         return self.predictions
 

@@ -53,11 +53,6 @@ class GPC(GP):
             raise NotImplementedError("The GPC does not support heteroskedastic outputs.")
         if sparse:
             raise NotImplementedError("The GPC does not support sparse structure (yet).")
-        if bucket is not None:
-            raise NotImplementedError(
-                "Bucket padding is not implemented for the classifier: the "
-                "Laplace inner Newton has no masked-likelihood form yet."
-            )
         if multitask_kernel not in (None, "Hadamard"):
             raise NotImplementedError(
                 "The GPC latent model is always the tall Hadamard structure "
@@ -94,10 +89,31 @@ class GPC(GP):
         uniq = set(np.unique(y[np.isfinite(y)]))
         if not uniq <= {0.0, 1.0}:
             raise ValueError(f"GPC requires binary 0/1 outputs; found values {sorted(uniq)}")
-        mask = np.isfinite(y)
-        self._yz = jnp.asarray(y[mask], dtype=self._dtype)
-        self._xc = self._xc[np.asarray(mask)]
-        self._xk = self._xk[np.asarray(mask)]
+        finite = np.isfinite(y)
+        y = y[finite]
+        xc = np.asarray(self._xc)[finite]
+        xk = np.asarray(self._xk)[finite]
+
+        # Bucket padding (lab loops): static shapes across growing datasets.
+        # The masked Laplace evidence is EXACT — padded rows carry zero
+        # likelihood, so their W vanishes and B gets identity rows
+        # (ops/laplace.laplace_mode). Padding happens in host numpy for the
+        # same recompile reasons as the regressor (models/gp.py bucket block).
+        self._mask = None
+        if bucket:
+            n = int(xc.shape[0])
+            n_pad = (-n) % int(bucket)
+            np_dtype = np.dtype(jnp.dtype(self._dtype).name)
+            if n_pad:
+                xc = np.concatenate([xc, np.zeros((n_pad, xc.shape[1]), dtype=np_dtype)])
+                xk = np.concatenate([xk, np.zeros((n_pad, xk.shape[1]), dtype=np.int32)])
+                y = np.concatenate([y, np.zeros(n_pad)])
+            self._mask = jnp.asarray(
+                np.concatenate([np.ones(n, dtype=np_dtype), np.zeros(n_pad, dtype=np_dtype)])
+            )
+        self._yz = jnp.asarray(y, dtype=self._dtype)
+        self._xc = jnp.asarray(xc, dtype=self._dtype)
+        self._xk = jnp.asarray(xk, dtype=jnp.int32)
         return self
 
     def find_MAP(self, n_restarts=8, maxiter=300, tol=1e-6, seed=None, **kwargs):
@@ -122,7 +138,7 @@ class GPC(GP):
 
         u_best, f_best, aux = fit_laplace_map(
             self._spec, self._xc, self._xk, self._yz, ls_alpha, ls_beta, u0s,
-            maxiter=maxiter, tol=tol,
+            maxiter=maxiter, tol=tol, mask=self._mask,
         )
         from ..ops.priors import constrain
 
@@ -183,6 +199,7 @@ class GPC(GP):
                 self._spec, q0, self._xc, self._xk, self._yz,
                 ls_alpha, ls_beta, jax.random.PRNGKey(seed),
                 draws=draws, tune=tune, chains=chains, ess_sweeps=ess_sweeps,
+                mask=self._mask,
             )
             natural = constrain(usamples)
             self.trace = {k: np.asarray(v) for k, v in natural.items()}
@@ -194,7 +211,8 @@ class GPC(GP):
 
         def logp(uparams):
             return -laplace_neg_logp(
-                self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta
+                self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta,
+                mask=self._mask,
             )
 
         usamples, stats = hmc_sample(
@@ -214,7 +232,8 @@ class GPC(GP):
         assert self._params is not None, "Model must be fit before predicting"
         xc, xk = self._split_X(np.asarray(points_array))
         mean, var, prob = laplace_predict(
-            self._spec, self._params, self._xc, self._xk, self._yz, xc, xk
+            self._spec, self._params, self._xc, self._xk, self._yz, xc, xk,
+            mask=self._mask,
         )
         self._last_prob = np.asarray(prob)
         return np.asarray(mean), np.asarray(var)
@@ -239,7 +258,7 @@ class GPC(GP):
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
         f_draws = laplace_draw_latent(
             self._spec, self._params, self._xc, self._xk, self._yz, xc, xk, key,
-            n_samples=n_samples,
+            n_samples=n_samples, mask=self._mask,
         )
         p_draws = expit(np.asarray(f_draws))
         name = output[0]

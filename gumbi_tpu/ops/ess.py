@@ -38,9 +38,17 @@ from .priors import constrain, log_prior
 __all__ = ["ess_gpc_sample", "bernoulli_loglik", "latent_conditional_proba"]
 
 
-def bernoulli_loglik(f, y):
-    """Σ log Bernoulli(y | sigmoid(f)) = Σ [y·f − softplus(f)]."""
-    return jnp.sum(y * f - jax.nn.softplus(f))
+def bernoulli_loglik(f, y, mask=None):
+    """Σ log Bernoulli(y | sigmoid(f)) = Σ [y·f − softplus(f)].
+
+    ``mask`` (0/1 per row) excludes bucket-padded rows: a masked row
+    contributes zero likelihood, so its latent is sampled from the prior
+    conditional — exactly the marginal the unpadded model would give.
+    """
+    ll = y * f - jax.nn.softplus(f)
+    if mask is not None:
+        ll = mask * ll
+    return jnp.sum(ll)
 
 
 def _chol_K(spec: GPSpec, uparams, xc, xk, jitter):
@@ -117,6 +125,7 @@ def ess_gpc_sample(
     ess_sweeps=4,
     target_accept=0.3,
     jitter=DEFAULT_JITTER,
+    mask=None,
 ):
     """Sample the joint (latents, hyperparameters) posterior of the GPC.
 
@@ -131,6 +140,11 @@ def ess_gpc_sample(
     n = y.shape[0]
     dtype = xc.dtype
     y = y.astype(dtype)
+    if mask is not None:
+        mask = jnp.asarray(mask, dtype=dtype)
+
+    def loglik(f, y):
+        return bernoulli_loglik(f, y, mask)
 
     # Flat <-> dict packing (dict key order; all indices static)
     names = sorted(u0.keys())
@@ -152,7 +166,7 @@ def ess_gpc_sample(
     def target_with_L(uflat, nu, L):
         """Whitened conditional target at an already-factorized state
         (NaN → -inf so non-PD proposals are always rejected)."""
-        val = log_prior(spec, flat_to_tree(uflat), ls_alpha, ls_beta) + bernoulli_loglik(
+        val = log_prior(spec, flat_to_tree(uflat), ls_alpha, ls_beta) + loglik(
             L @ nu, y
         )
         return jnp.where(jnp.isfinite(val), val, -jnp.inf)
@@ -171,7 +185,7 @@ def ess_gpc_sample(
             # --- latent sweeps (ESS, exact conditional, unrolled) ---
             key, *ks = jax.random.split(key, ess_sweeps + 1)
             for k in ks:
-                nu = _ess_step(k, nu, L, y, bernoulli_loglik)
+                nu = _ess_step(k, nu, L, y, loglik)
 
             # --- hyper move (random-walk MH on the whitened target) ---
             # The current state's factor L is already in the carry — only the

@@ -28,23 +28,29 @@ def _log_sigmoid(x):
     return -jnp.logaddexp(0.0, -x)
 
 
-def laplace_mode(K, y, n_iter=30):
+def laplace_mode(K, y, n_iter=30, mask=None):
     """Newton iterations to the mode of p(f | y) for logistic-Bernoulli y∈{0,1}.
 
     Returns (f_hat, a, L, sqrtW) where a = K⁻¹ f_hat and
-    L = chol(I + √W K √W).
+    L = chol(I + √W K √W). ``mask`` (0/1 per row) excludes bucket-padded rows
+    EXACTLY: a masked row contributes zero likelihood, so its W (and hence
+    its row/column of B) vanishes — B gets an identity row, the evidence
+    reduces to the unpadded problem's, and the mode at masked rows is the
+    prior-conditional smoothing of the observed rows (which drops out of
+    both the quadratic and the logdet).
     """
     n = y.shape[0]
     eye = jnp.eye(n, dtype=K.dtype)
+    m = jnp.ones_like(y) if mask is None else mask
 
     def body(_, state):
         f, _, _, _ = state
         π = jax.nn.sigmoid(f)
-        W = π * (1.0 - π)
-        sqrtW = jnp.sqrt(jnp.maximum(W, 1e-12))
+        W = m * π * (1.0 - π)
+        sqrtW = jnp.sqrt(jnp.maximum(W, 1e-12)) * m
         B = eye + sqrtW[:, None] * K * sqrtW[None, :]
         L = jnp.linalg.cholesky(B)
-        b = W * f + (y - π)
+        b = W * f + m * (y - π)
         Kb = K @ b
         a = b - sqrtW * jsl.cho_solve((L, True), sqrtW * Kb)
         f_new = K @ a
@@ -56,30 +62,30 @@ def laplace_mode(K, y, n_iter=30):
     return f, a, L, sqrtW
 
 
-def _laplace_Z(f, a, L, y):
-    # log p(y|f) for y∈{0,1}: Σ [y·f − log(1 + e^f)]
-    log_lik = jnp.sum(y * f - jnp.logaddexp(0.0, f))
+def _laplace_Z(f, a, L, y, m):
+    # log p(y|f) for y∈{0,1}: Σ [y·f − log(1 + e^f)] over REAL rows
+    log_lik = jnp.sum(m * (y * f - jnp.logaddexp(0.0, f)))
     return -0.5 * jnp.dot(a, f) + log_lik - jnp.sum(jnp.log(jnp.diag(L)))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _laplace_mll_impl(n_iter, K, y):
-    f, a, L, _ = laplace_mode(K, y, n_iter)
-    return _laplace_Z(f, a, L, y)
+def _laplace_mll_impl(n_iter, K, y, m):
+    f, a, L, _ = laplace_mode(K, y, n_iter, mask=m)
+    return _laplace_Z(f, a, L, y, m)
 
 
-def _laplace_mll_fwd(n_iter, K, y):
-    f, a, L, sqrtW = laplace_mode(K, y, n_iter)
-    return _laplace_Z(f, a, L, y), (K, y, f, a, L, sqrtW)
+def _laplace_mll_fwd(n_iter, K, y, m):
+    f, a, L, sqrtW = laplace_mode(K, y, n_iter, mask=m)
+    return _laplace_Z(f, a, L, y, m), (K, y, m, f, a, L, sqrtW)
 
 
 def _laplace_mll_bwd(n_iter, res, gZ):
     """GPML §5.5.1: ∂Z/∂K = ½(a aᵀ − R) + u (y−π)ᵀ with
     R = S B⁻¹ S, u = (I + W K)⁻¹ s2, s2 the implicit mode-shift term."""
-    K, y, f, a, L, sqrtW = res
+    K, y, m, f, a, L, sqrtW = res
     π = jax.nn.sigmoid(f)
-    W = π * (1.0 - π)
-    g = y - π  # ∇ log p(y|f̂); equals a at the converged mode
+    W = m * π * (1.0 - π)
+    g = m * (y - π)  # ∇ log p(y|f̂); equals a at the converged mode
 
     # R = S B⁻¹ S  (B = I + S K S, L = chol(B))
     S = sqrtW
@@ -101,13 +107,13 @@ def _laplace_mll_bwd(n_iter, res, gZ):
     implicit = jnp.outer(u, g)
 
     K_bar = gZ * (explicit + implicit)
-    return K_bar, jnp.zeros_like(y)
+    return K_bar, jnp.zeros_like(y), jnp.zeros_like(m)
 
 
 _laplace_mll_impl.defvjp(_laplace_mll_fwd, _laplace_mll_bwd)
 
 
-def laplace_mll(K, y, n_iter=30):
+def laplace_mll(K, y, n_iter=30, mask=None):
     """Laplace-approximate log marginal likelihood (GPML eq. 3.32).
 
     Ships the exact analytic gradient w.r.t. ``K`` (GPML eqs. 5.21–5.24,
@@ -116,23 +122,29 @@ def laplace_mll(K, y, n_iter=30):
     same design as :func:`gumbi_tpu.ops.linalg.quad_and_logdet` for the
     regressor. This removes the TPU compile blowup that forced GPC restarts
     into sequential mode and makes the objective cheaply vmappable.
+    ``mask`` excludes bucket-padded rows exactly (see :func:`laplace_mode`).
     """
-    return _laplace_mll_impl(n_iter, K, y)
+    m = jnp.ones_like(y) if mask is None else jnp.asarray(mask, dtype=y.dtype)
+    return _laplace_mll_impl(n_iter, K, y, m)
 
 
 def laplace_neg_logp(
-    spec: GPSpec, uparams, xc, xk, y, ls_alpha, ls_beta, jitter=DEFAULT_JITTER, n_iter=30
+    spec: GPSpec, uparams, xc, xk, y, ls_alpha, ls_beta, jitter=DEFAULT_JITTER, n_iter=30,
+    mask=None,
 ):
     """Negative (Laplace marginal likelihood + hyperprior) in unconstrained space."""
     params = constrain(uparams)
     K = gram(spec, params, xc, xk, xc, xk)
     K = K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)
-    total = laplace_mll(K, y, n_iter) + log_prior(spec, uparams, ls_alpha, ls_beta)
+    total = laplace_mll(K, y, n_iter, mask=mask) + log_prior(spec, uparams, ls_alpha, ls_beta)
     return jnp.where(jnp.isfinite(total), -total, jnp.inf)
 
 
 @partial(jax.jit, static_argnums=0, static_argnames=("n_iter",))
-def laplace_predict(spec: GPSpec, params, xc, xk, y, xc_new, xk_new, jitter=DEFAULT_JITTER, n_iter=30):
+def laplace_predict(
+    spec: GPSpec, params, xc, xk, y, xc_new, xk_new, jitter=DEFAULT_JITTER, n_iter=30,
+    mask=None,
+):
     """Latent posterior mean/variance and class probability at new points.
 
     Probability uses the probit ("MacKay") approximation
@@ -140,11 +152,12 @@ def laplace_predict(spec: GPSpec, params, xc, xk, y, xc_new, xk_new, jitter=DEFA
     """
     K = gram(spec, params, xc, xk, xc, xk)
     K = K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)
-    f, a, L, sqrtW = laplace_mode(K, y, n_iter)
+    f, a, L, sqrtW = laplace_mode(K, y, n_iter, mask=mask)
 
     Ks = gram(spec, params, xc_new, xk_new, xc, xk)  # (M, N)
     π = jax.nn.sigmoid(f)
-    mean = Ks @ (y - π)
+    m = jnp.ones_like(y) if mask is None else jnp.asarray(mask, dtype=y.dtype)
+    mean = Ks @ (m * (y - π))
 
     V = jsl.solve_triangular(L, (sqrtW[:, None] * Ks.T), lower=True)  # (N, M)
     from .kernels import gram_diag
@@ -169,17 +182,19 @@ def laplace_draw_latent(
     n_samples=1,
     jitter=DEFAULT_JITTER,
     n_iter=30,
+    mask=None,
 ):
     """Joint draws of the latent function at new points under the Laplace
     posterior (replaces the reference classifier's gp.conditional +
     sample_posterior_predictive path, extras.py:45-66)."""
     K = gram(spec, params, xc, xk, xc, xk)
     K = K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)
-    f, a, L, sqrtW = laplace_mode(K, y, n_iter)
+    f, a, L, sqrtW = laplace_mode(K, y, n_iter, mask=mask)
 
     Ks = gram(spec, params, xc_new, xk_new, xc, xk)  # (M, N)
     π = jax.nn.sigmoid(f)
-    mean = Ks @ (y - π)
+    m = jnp.ones_like(y) if mask is None else jnp.asarray(mask, dtype=y.dtype)
+    mean = Ks @ (m * (y - π))
 
     from .kernels import gram_diag
 

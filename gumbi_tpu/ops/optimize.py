@@ -267,16 +267,19 @@ def fit_kron_map(spec: GPSpec, xc_locs, Y, ls_alpha, ls_beta, u0s, maxiter=250, 
 
 
 @partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter", "tol"))
-def fit_laplace_map(spec: GPSpec, xc, xk, y, ls_alpha, ls_beta, u0s, maxiter=300, tol=1e-6):
+def fit_laplace_map(
+    spec: GPSpec, xc, xk, y, ls_alpha, ls_beta, u0s, maxiter=300, tol=1e-6, mask=None
+):
     """MAP-fit classifier hyperparameters on the Laplace marginal likelihood.
 
     Same module-level-jit rationale as :func:`fit_kron_map`; the gradient
     never differentiates the inner Newton loop (ops/laplace.py custom VJP).
+    ``mask`` marks real rows of bucket-padded data (exact masked evidence).
     """
     from .laplace import laplace_neg_logp
 
     def objective(uparams):
-        return laplace_neg_logp(spec, uparams, xc, xk, y, ls_alpha, ls_beta)
+        return laplace_neg_logp(spec, uparams, xc, xk, y, ls_alpha, ls_beta, mask=mask)
 
     u_best, f_best, aux = multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
     return u_best, f_best, aux

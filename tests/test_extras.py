@@ -74,6 +74,77 @@ def test_draw_point_samples_map(fitted):
     assert np.all(draws.values() > 0)
 
 
+def test_draw_point_samples_multioutput_correlated(small_ds):
+    """Multi-output draws are JOINT: their empirical covariance across the
+    (point, output) stack must match the exact tall posterior covariance
+    (the reference declares this NotImplemented, ref GP.py:898)."""
+    import jax
+
+    from gumbi_tpu.ops.posterior import predict_cov
+
+    gp = gmb.GP(small_ds)
+    gp.fit(
+        outputs=["mpg", "acceleration"],
+        continuous_dims=["horsepower"],
+        multitask_kernel="Hadamard",
+        MAP_kwargs=dict(n_restarts=2, maxiter=100),
+    )
+    X, _ = gp.get_structured_data()
+    hp = np.asarray(X["horsepower"].values()).ravel()
+    # Off-data points (midpoints + extrapolation): posterior variance and
+    # cross-output covariance are not pinned to ~0 there.
+    hp_s = np.sort(np.unique(hp))
+    pts = gp.parray(
+        horsepower=np.array(
+            [0.5 * (hp_s[0] + hp_s[1]), 0.5 * (hp_s[-2] + hp_s[-1]), hp_s[-1] * 1.15]
+        )
+    )
+    draws = gp.draw_point_samples(pts, n_samples=4000, with_noise=False, seed=0)
+    assert set(draws.names) == {"mpg", "acceleration"}
+    samples = np.stack(
+        [draws["mpg"].z.values(), draws["acceleration"].z.values()], axis=1
+    )  # (S, 2, 3) in z-space, matching predict_cov's space
+    flat = samples.reshape(samples.shape[0], -1)  # stack outputs then points
+
+    points_array, _, _ = gp._prepare_points_for_prediction(pts, output=gp.outputs)
+    xc, xk = gp._split_X(np.asarray(points_array))
+    _, cov = predict_cov(
+        gp._spec, gp._params, gp._ensure_dense_cache(), xc, xk, with_noise=False
+    )
+    cov = np.asarray(cov)
+    emp = np.cov(flat.T)
+    scale = float(np.max(np.diag(cov)))
+    np.testing.assert_allclose(emp, cov, atol=0.08 * scale)
+    # The LMC outputs must be genuinely correlated in the joint draws, not
+    # just matching per-output marginals: compare the largest cross-output
+    # correlation coefficient against the exact posterior's.
+    D = np.sqrt(np.diag(cov))
+    cor_true = cov / np.outer(D, D)
+    cross = cor_true[:3, 3:]
+    i, j = np.unravel_index(np.argmax(np.abs(cross)), cross.shape)
+    assert abs(cross[i, j]) > 0.05, "test setup: expected real cross-output correlation"
+    De = np.sqrt(np.diag(emp))
+    emp_cor = emp / np.outer(De, De)
+    assert emp_cor[:3, 3:][i, j] == pytest.approx(cross[i, j], abs=0.1)
+
+
+def test_draw_grid_samples_multioutput_independent(small_ds):
+    """Independent-structure multi-output draws: per-output models, zero
+    cross-output correlation by construction."""
+    gp = gmb.GP(small_ds)
+    gp.fit(
+        outputs=["mpg", "acceleration"],
+        continuous_dims=["horsepower"],
+        multitask_kernel="Independent",
+        MAP_kwargs=dict(n_restarts=2, maxiter=100),
+    )
+    gp.prepare_grid(resolution=9)
+    draws = gp.draw_grid_samples(n_samples=5)
+    assert set(draws.names) == {"mpg", "acceleration"}
+    assert draws["mpg"].values().shape == (5, 9)
+    assert np.all(np.isfinite(draws.values()))
+
+
 def test_save_load_roundtrip(tmp_path, fitted, small_ds):
     path = tmp_path / "gp_model.npz"
     fitted.save(path)
@@ -347,18 +418,49 @@ def test_cross_validate_warm_start_categorical():
     assert train_levels == set(gp.categorical_levels["origin"])
 
 
-def test_gpc_rejects_bucket_and_multitask():
+def test_gpc_rejects_non_hadamard_multitask():
     rng = np.random.default_rng(2)
     x = rng.uniform(-2, 2, 30)
     df = pd.DataFrame({"x": x, "label": (x > 0).astype(float)})
     ds = gmb.DataSet(df, outputs=["label"])
-    with pytest.raises(NotImplementedError, match="[Bb]ucket"):
-        gmb.GPC(ds).fit(
-            outputs=["label"], continuous_dims=["x"],
-            heteroskedastic_outputs=False, bucket=16,
-        )
     with pytest.raises(NotImplementedError, match="Hadamard"):
         gmb.GPC(ds).fit(
             outputs=["label"], continuous_dims=["x"],
             heteroskedastic_outputs=False, multitask_kernel="Kronecker",
         )
+
+
+def test_gpc_bucket_matches_unbucketed():
+    """Bucket-padded classifier fit == unpadded fit: the masked Laplace
+    evidence is exact (padded rows carry zero likelihood and zero W), so the
+    hyperparameter optimum and the probability surface must agree."""
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-2, 2, 29)  # 29 → pads to 32 with bucket=16
+    df = pd.DataFrame({"x": x, "label": (x > 0.3).astype(float)})
+    ds = gmb.DataSet(df, outputs=["label"])
+
+    gpc_ref = gmb.GPC(ds)
+    gpc_ref.fit(
+        outputs=["label"], continuous_dims=["x"], heteroskedastic_outputs=False,
+        MAP_kwargs=dict(n_restarts=3, maxiter=150),
+    )
+    gpc_b = gmb.GPC(ds)
+    gpc_b.fit(
+        outputs=["label"], continuous_dims=["x"], heteroskedastic_outputs=False,
+        bucket=16, MAP_kwargs=dict(n_restarts=3, maxiter=150),
+    )
+    assert gpc_b._xc.shape[0] == 32 and int(np.asarray(gpc_b._mask).sum()) == 29
+    assert gpc_b._neg_logp == pytest.approx(gpc_ref._neg_logp, rel=1e-4)
+
+    X = gpc_ref.prepare_grid(resolution=21)
+    p_ref = gpc_ref.predict_grid_proba()
+    gpc_b.prepare_grid(resolution=21)
+    p_b = gpc_b.predict_grid_proba()
+    np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_ref), atol=2e-3)
+
+    # Full-Bayes latent sampling also honors the mask
+    trace = gpc_b.sample(latent=True, draws=40, tune=40, chains=1, seed=0)
+    assert np.all(np.isfinite(trace["_latent_f"]))
+    pts = X.ravel()[:5]
+    proba = gpc_b.predict_proba(pts, source=trace, max_draws=16)
+    assert np.all((proba >= 0) & (proba <= 1))

@@ -28,7 +28,7 @@ def _problem(n=40, seed=0):
 def _mll_through_loop(K, y, n_iter=40):
     """Plain (autodiff-through-Newton) version — the gradient oracle."""
     f, a, L, _ = laplace_mode(K, y, n_iter)
-    return _laplace_Z(f, a, L, y)
+    return _laplace_Z(f, a, L, y, jnp.ones_like(y))
 
 
 def test_laplace_vjp_matches_autodiff_through_newton():
@@ -61,6 +61,50 @@ def test_laplace_vjp_matches_finite_differences():
     zm = float(laplace_mll(K - h * V, y, n_iter=60))
     fd = (zp - zm) / (2 * h)
     assert directional == pytest.approx(fd, rel=1e-5, abs=1e-7)
+
+
+def _pad_problem(K, y, n_pad=7, seed=5):
+    """Embed (K, y) in a padded problem with arbitrary junk in the pad block."""
+    n = K.shape[0]
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n + n_pad, n + n_pad))
+    junk = A @ A.T  # SPD junk; only the obs block should matter
+    K_pad = jnp.asarray(junk).at[:n, :n].set(K)
+    y_pad = jnp.concatenate([y, jnp.asarray(rng.integers(0, 2, n_pad), dtype=y.dtype)])
+    m = jnp.concatenate([jnp.ones(n, dtype=y.dtype), jnp.zeros(n_pad, dtype=y.dtype)])
+    return K_pad, y_pad, m
+
+
+def test_masked_laplace_mll_exactly_ignores_padding():
+    """Masked evidence on a padded problem == unpadded evidence: padded rows
+    carry zero likelihood, so W (and B's off-identity structure) vanish there
+    regardless of the pad block's contents."""
+    K, y = _problem(n=24, seed=4)
+    K_pad, y_pad, m = _pad_problem(K, y)
+    z_ref = float(laplace_mll(K, y, n_iter=40))
+    z_masked = float(laplace_mll(K_pad, y_pad, n_iter=40, mask=m))
+    assert z_masked == pytest.approx(z_ref, rel=1e-9, abs=1e-8)
+
+
+def test_masked_laplace_vjp_matches_finite_differences():
+    K, y = _problem(n=20, seed=6)
+    K_pad, y_pad, m = _pad_problem(K, y, n_pad=5, seed=7)
+    rng = np.random.default_rng(8)
+    V = rng.normal(size=K_pad.shape)
+    V = jnp.asarray((V + V.T) / 2)
+
+    g = jax.grad(lambda K: laplace_mll(K, y_pad, n_iter=60, mask=m))(K_pad)
+    directional = float(jnp.sum(g * V))
+    h = 1e-6
+    zp = float(laplace_mll(K_pad + h * V, y_pad, n_iter=60, mask=m))
+    zm = float(laplace_mll(K_pad - h * V, y_pad, n_iter=60, mask=m))
+    fd = (zp - zm) / (2 * h)
+    assert directional == pytest.approx(fd, rel=1e-5, abs=1e-7)
+
+    # Gradient w.r.t. pad-only entries is exactly zero
+    n = K.shape[0]
+    g_np = np.asarray(g)
+    assert np.abs(g_np[n:, :]).max() == 0.0 and np.abs(g_np[:, n:]).max() == 0.0
 
 
 def test_laplace_vjp_vmappable():
