@@ -820,10 +820,41 @@ class GP(Regressor):
 
         Passing a :class:`jax.sharding.Mesh` shards the prediction points over
         the mesh's 'data' axis (zero-communication parallel solves).
+
+        ``additive_level`` selects one component of an additive model
+        (reference gp_dict naming, ref GP.py:729-754): ``'total'`` (default)
+        is the full sum, ``'global'`` the shared continuous term, and a
+        categorical dim name that dim's component. Sublevel prediction is a
+        capability the reference declares NotImplemented (ref GP.py:841);
+        component posteriors solve against the total-kernel factorization and
+        carry no observation noise.
         """
-        if additive_level != "total":
-            raise NotImplementedError("Prediction for additive sublevels is not yet supported.")
         assert self._params is not None, "Model must be fit before predicting"
+        if additive_level != "total":
+            if not self.additive:
+                raise ValueError(
+                    "additive_level is only meaningful for additive models "
+                    "(fit with additive=True)."
+                )
+            if self.sparse or self._structure in ("Kronecker", "Independent"):
+                raise NotImplementedError(
+                    "Sublevel prediction is implemented for the dense additive "
+                    "model (the structure additive models actually build)."
+                )
+            suffix = "total" if additive_level == "global" else additive_level
+            valid = {"global"} | {t.suffix for t in self._spec.terms if t.suffix != "total"}
+            if suffix not in {t.suffix for t in self._spec.terms}:
+                raise ValueError(
+                    f"additive_level {additive_level!r} not among this model's "
+                    f"components {sorted(valid)}"
+                )
+            from ..ops.posterior import predict_diag_level
+
+            xc, xk = self._split_X(np.asarray(points_array))
+            mean, var = predict_diag_level(
+                self._spec, self._params, self._ensure_dense_cache(), xc, xk, level=suffix
+            )
+            return np.asarray(mean), np.asarray(var)
 
         xc, xk = self._split_X(np.asarray(points_array))
         if mesh is not None:

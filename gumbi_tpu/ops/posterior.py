@@ -18,7 +18,15 @@ import jax.scipy.linalg as jsl
 from .kernels import GPSpec, gram, gram_diag, noise_diag
 from .mll import DEFAULT_JITTER, cholesky_factor
 
-__all__ = ["PosteriorCache", "posterior_cache", "predict_diag", "predict_diag_chunked", "predict_cov", "draw_samples"]
+__all__ = [
+    "PosteriorCache",
+    "posterior_cache",
+    "predict_diag",
+    "predict_diag_chunked",
+    "predict_diag_level",
+    "predict_cov",
+    "draw_samples",
+]
 
 
 class PosteriorCache(NamedTuple):
@@ -54,6 +62,35 @@ def predict_diag(spec: GPSpec, params, cache: PosteriorCache, xc_new, xk_new, wi
     if with_noise:
         var = var + noise_diag(spec, params, xk_new, dtype=var.dtype)
     return mean, var
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("level",))
+def predict_diag_level(spec: GPSpec, params, cache: PosteriorCache, xc_new, xk_new, level):
+    """Posterior mean/variance of ONE additive component at new points.
+
+    For an additive model K = Σ_t K_t, the component-t posterior given the
+    total-kernel factorization is
+
+        mean_t = K_t(X*, X) α,      α = (K + noise)⁻¹ y
+        var_t  = diag K_t(X*, X*) − diag(K_t(X*, X) (K + noise)⁻¹ K_t(X, X*))
+
+    — standard additive-GP decomposition (solves stay against the TOTAL
+    cache; only the cross/prior covariances restrict to the term). ``level``
+    is the term suffix ('total' = the global continuous term in an additive
+    model; a categorical dim name = that dim's component). Observation noise
+    never applies to a component. The reference declares this path
+    NotImplemented (reference gumbi/regression/pymc/GP.py:841).
+    """
+    from .kernels import _term_diag, _term_gram
+
+    term = {t.suffix: t for t in spec.terms}[level]
+    Ks = _term_gram(spec, term, params, xc_new, xk_new, cache.xc, cache.xk)
+    if cache.mask is not None:
+        Ks = Ks * cache.mask[None, :]
+    mean = Ks @ cache.alpha
+    V = jsl.solve_triangular(cache.L, Ks.T, lower=True)
+    var = _term_diag(spec, term, params, xc_new, xk_new) - jnp.sum(V * V, axis=0)
+    return mean, jnp.maximum(var, 0.0)
 
 
 def predict_diag_chunked(

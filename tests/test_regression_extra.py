@@ -68,6 +68,56 @@ def test_additive_fit(cars_ds):
     assert np.all(np.isfinite(y.μ))
 
 
+def test_additive_sublevel_prediction(cars_ds):
+    """Sublevel posteriors of an additive model (beyond the reference, which
+    raises NotImplementedError, ref GP.py:841). Exact oracles: component
+    means sum to the total mean (the posterior mean is linear in the
+    cross-covariance), and the global component is invariant to the
+    categorical coordinate (its kernel carries no coregion factor)."""
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg"],
+        categorical_dims=["origin"],
+        continuous_dims=["horsepower"],
+        additive=True,
+        MAP_kwargs=dict(n_restarts=2, maxiter=80),
+    )
+    gp.prepare_grid(resolution=11)
+    pts = gp.append_categorical_points(
+        gp.grid_points, categorical_levels={"origin": "usa"}
+    )
+    points_array, _, _ = gp._prepare_points_for_prediction(pts, output=["mpg"])
+
+    mu_tot, var_tot = gp.predict(points_array, with_noise=False)
+    mu_glob, var_glob = gp.predict(points_array, additive_level="global")
+    mu_org, var_org = gp.predict(points_array, additive_level="origin")
+    np.testing.assert_allclose(mu_glob + mu_org, mu_tot, rtol=1e-5, atol=1e-6)
+    assert np.all(var_glob >= 0) and np.all(var_org >= 0)
+
+    # Global component does not depend on the categorical coordinate
+    pts_jp = gp.append_categorical_points(
+        gp.grid_points, categorical_levels={"origin": "japan"}
+    )
+    pa_jp, _, _ = gp._prepare_points_for_prediction(pts_jp, output=["mpg"])
+    mu_glob_jp, var_glob_jp = gp.predict(pa_jp, additive_level="global")
+    np.testing.assert_allclose(mu_glob_jp, mu_glob, rtol=1e-6)
+    np.testing.assert_allclose(var_glob_jp, var_glob, rtol=1e-6)
+    # ...but the per-dim component does
+    mu_org_jp, _ = gp.predict(pa_jp, additive_level="origin")
+    assert not np.allclose(mu_org_jp, mu_org)
+
+    # Guard rails
+    with pytest.raises(ValueError, match="not among this model's components"):
+        gp.predict(points_array, additive_level="weight")
+    gp2 = GP(cars_ds)
+    gp2.fit(
+        outputs=["mpg"], continuous_dims=["horsepower"],
+        MAP_kwargs=dict(n_restarts=2, maxiter=60),
+    )
+    with pytest.raises(ValueError, match="additive"):
+        gp2.predict(points_array[:, :1], additive_level="global")
+
+
 def test_2d_grid_and_conditional(cars_ds):
     gp = GP(cars_ds)
     gp.fit(
