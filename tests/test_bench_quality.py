@@ -22,12 +22,12 @@ from gumbi_tpu.ops.optimize import lbfgs_backtracking_minimize
 # Scaled-down mirror of bench.py's stage sizes/iteration caps (ratios kept)
 N_LOCS = 1024
 COARSE_N = 128
-MID_N = 410
+MID_N = 205  # bench: 1024 of 5120
 N_RESTARTS = 8
-COARSE_ITERS = 32
-MID_ITERS = 16
+COARSE_ITERS = 20
+MID_ITERS = 12
 POLISH_ITERS = 20
-POLISH_FTOL = 3e-5  # bench.py's BENCH_POLISH_FTOL default
+POLISH_FTOL = 1e-4  # bench.py's BENCH_POLISH_FTOL default
 
 
 def _problem():
