@@ -1629,8 +1629,15 @@ class GP(Regressor):
             ard=sd["ard"],
             noise_coreg=noise_coreg,
             period=tuple(sd["period"]) if sd["period"] else None,
+            # The classifier's spec carries likelihood='bernoulli' (no σ);
+            # dropping it on load silently rebuilt a Gaussian spec whose
+            # noise_diag KeyErrors on the classifier's parameter set.
+            likelihood=sd.get("likelihood", "gaussian"),
         )
         gp.model = gp._spec
+        if gp._spec.likelihood == "bernoulli":
+            gp.latent = True
+            gp._cache = None
 
         gp._xc = jnp.asarray(arrays["xc"], dtype=gp._dtype)
         gp._xk = jnp.asarray(arrays["xk"], dtype=jnp.int32)
@@ -1683,7 +1690,9 @@ class GP(Regressor):
         if params:
             gp._params = params
             gp.MAP = {k: np.asarray(v) for k, v in params.items()}
-            if gp._structure == "Kronecker":
+            if gp._spec.likelihood == "bernoulli":
+                pass  # classifier predicts through laplace_predict, no Gaussian cache
+            elif gp._structure == "Kronecker":
                 from ..ops.kronecker import kron_cache
 
                 gp._kron_cache = kron_cache(gp._spec, gp._params, gp._xc_locs, gp._Y)

@@ -418,6 +418,33 @@ def test_cross_validate_warm_start_categorical():
     assert train_levels == set(gp.categorical_levels["origin"])
 
 
+def test_gpc_save_load_roundtrip(tmp_path):
+    """GPC.load must restore the Bernoulli likelihood (previously the spec
+    rebuilt as Gaussian and posterior_cache KeyError'd on the missing σ),
+    including the bucket mask; probabilities roundtrip exactly."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-2, 2, 25)
+    df = pd.DataFrame({"x": x, "hit": (x > 0).astype(float)})
+    ds = gmb.DataSet(df, outputs=["hit"])
+    for kw in ({}, dict(bucket=16)):
+        gpc = gmb.GPC(ds)
+        gpc.fit(
+            outputs=["hit"], continuous_dims=["x"], heteroskedastic_outputs=False,
+            MAP_kwargs=dict(n_restarts=2, maxiter=100), **kw
+        )
+        gpc.prepare_grid(resolution=11)
+        p1 = gpc.predict_grid_proba()
+        path = tmp_path / f"gpc_{bool(kw)}.npz"
+        gpc.save(path)
+        gpc2 = gmb.GPC.load(path, ds)
+        assert gpc2._spec.likelihood == "bernoulli"
+        gpc2.prepare_grid(resolution=11)
+        p2 = gpc2.predict_grid_proba()
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        if kw:
+            assert int(np.asarray(gpc2._mask).sum()) == 25
+
+
 def test_gpc_rejects_non_hadamard_multitask():
     rng = np.random.default_rng(2)
     x = rng.uniform(-2, 2, 30)
