@@ -85,6 +85,11 @@ class GP(Regressor):
         self._cat_maps = {}
         self._structure = "Hadamard"
         self._mask = None
+        # Heteroskedastic-input (noise GP) state; populated by _find_MAP_het
+        self._noise_params = None
+        self._noise_cache = None
+        self._noise_mult = None
+        self._noise_stats = None
         self._dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
         self.model_specs = {
@@ -297,9 +302,40 @@ class GP(Regressor):
         reformulation is numerically identical but ~D² cheaper (batched
         (D, N, N) Cholesky instead of one (ND, ND)); auto selects it whenever
         the structure allows. 'Hadamard' forces the tall path.
+
+        ``heteroskedastic_inputs``: model input-dependent observation noise
+        via the most-likely heteroskedastic GP (Kersting et al. 2007): a
+        second GP fit to log expected squared residuals supplies a per-row
+        relative noise variance; prediction adds the location-dependent
+        noise at new points. Beyond the reference (NotImplemented in both
+        its backends, ref GP.py:518-519, botorch/GP.py:142-143). Dense
+        Hadamard structure only. Tune with ``MAP_kwargs=dict(het_iters=k)``.
         """
         if heteroskedastic_inputs:
-            raise NotImplementedError("Heteroskedasticity over inputs is not yet implemented.")
+            # Input-dependent noise via the most-likely heteroskedastic GP
+            # (Kersting et al. 2007): a second GP over log squared residuals
+            # supplies a per-row relative noise variance for the main fit.
+            # A capability the reference declares NotImplemented in BOTH
+            # backends (ref gumbi/regression/pymc/GP.py:518-519,
+            # botorch/GP.py:142-143). Dense (Hadamard) structure only: the
+            # per-row noise diagonal breaks the Kronecker batching, FITC's
+            # diagonal correction already absorbs input-dependent slack, and
+            # the Independent split would need one noise GP per output.
+            if sparse:
+                raise NotImplementedError(
+                    "heteroskedastic_inputs does not compose with sparse FITC."
+                )
+            if bucket:
+                raise NotImplementedError(
+                    "heteroskedastic_inputs does not compose with bucket padding "
+                    "(the noise-GP targets are per observed row)."
+                )
+            if multitask_kernel in ("Kronecker", "Independent"):
+                raise NotImplementedError(
+                    "heteroskedastic_inputs requires the dense Hadamard structure "
+                    "(per-row noise breaks the Kronecker/Independent batching)."
+                )
+            multitask_kernel = "Hadamard"
         assert_in("Continuous kernel", continuous_kernel, CONTINUOUS_KERNELS)
 
         X, y = self.get_shaped_data("mean")
@@ -346,6 +382,12 @@ class GP(Regressor):
         # returns early (before the bucket block below), and a stale mask
         # from a previous bucketed build would corrupt predict/save/propose.
         self._mask = None
+        # Reset heteroskedastic-input state: a stale noise GP from a previous
+        # build would silently reshape the predictive noise.
+        self._noise_params = None
+        self._noise_cache = None
+        self._noise_mult = None
+        self._noise_stats = None
 
         self._build_cat_maps()
         linear_idx = tuple(self.continuous_dims.index(d) for d in self.linear_dims)
@@ -627,6 +669,18 @@ class GP(Regressor):
         ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
         ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
 
+        if getattr(self, "heteroskedastic_inputs", False):
+            if mesh is not None:
+                raise NotImplementedError(
+                    "Mesh-sharded fitting is not implemented for "
+                    "heteroskedastic_inputs (the noise-GP stage is a small "
+                    "second fit; run it on one chip)."
+                )
+            return self._find_MAP_het(
+                u0s, ls_alpha, ls_beta, n_restarts=n_restarts, maxiter=maxiter,
+                tol=tol, seed=seed, n_iter=int(kwargs.pop("het_iters", 2)),
+            )
+
         if mesh is not None:
             if self.sparse:
                 raise NotImplementedError(
@@ -794,6 +848,86 @@ class GP(Regressor):
             )
         return self.MAP
 
+    def _find_MAP_het(
+        self, u0s, ls_alpha, ls_beta, *, n_restarts, maxiter, tol, seed, n_iter=2
+    ):
+        """Most-likely heteroskedastic GP fit (Kersting et al. 2007, ICML).
+
+        Input-dependent noise — NotImplemented in BOTH reference backends
+        (ref gumbi/regression/pymc/GP.py:518-519, botorch/GP.py:142-143).
+
+        Alternates (1) a standard MAP fit of the main GP given a fixed
+        per-row relative noise variance, and (2) a secondary GP fit to the
+        log expected squared residuals z_i = log((y_i − μ_i)² + var_i),
+        whose posterior mean supplies the next round's noise shape
+        exp(l(x) − l̄). The learnable σ² keeps the global noise scale (the
+        shape is normalized to mean 1 in log space), so the homoskedastic
+        model is exactly recovered when the noise GP finds no signal. Every
+        stage reuses the engine's jitted fit/predict programs — on TPU the
+        whole loop is 2·n_iter + 1 compiled-program invocations.
+        """
+        spec = self._spec
+        xc, xk, y = self._xc, self._xk, self._yz
+        params, neg_logp, aux = fit_gp_map(
+            spec, xc, xk, y, ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol
+        )
+        # Same kernel/coregion structure for the noise surface, its own
+        # homoskedastic white noise.
+        noise_spec = GPSpec(
+            terms=spec.terms, d_cont=spec.d_cont, ard=spec.ard, period=spec.period
+        )
+        noise_mult = None
+        for it in range(n_iter):
+            cache = posterior_cache(spec, params, xc, xk, y, noise_mult=noise_mult)
+            mu, var = predict_diag(spec, params, cache, xc, xk, with_noise=False)
+            # E[(y − f)²] = squared residual + latent posterior variance
+            r2 = np.asarray((y - mu) ** 2 + var, dtype=np.float64)
+            z = np.log(np.maximum(r2, 1e-12))
+            z_m = float(z.mean())
+            z_s = float(max(z.std(), 1e-3))
+            zt = jnp.asarray((z - z_m) / z_s, dtype=self._dtype)
+            u0s_n = initial_params(
+                noise_spec, self._ls_alpha, self._ls_beta,
+                n_restarts=n_restarts, seed=seed + 7919 + it, dtype=self._dtype,
+            )
+            nparams, _, _ = fit_gp_map(
+                noise_spec, xc, xk, zt, ls_alpha, ls_beta, u0s_n,
+                maxiter=maxiter, tol=tol,
+            )
+            ncache = posterior_cache(noise_spec, nparams, xc, xk, zt)
+            g, _ = predict_diag(noise_spec, nparams, ncache, xc, xk, with_noise=False)
+            log_noise = z_m + z_s * np.asarray(g, dtype=np.float64)
+            lbar = float(log_noise.mean())
+            noise_mult = jnp.asarray(np.exp(log_noise - lbar), dtype=self._dtype)
+            params, neg_logp, aux = fit_gp_map(
+                spec, xc, xk, y, ls_alpha, ls_beta, u0s,
+                maxiter=maxiter, tol=tol, noise_mult=noise_mult,
+            )
+        self._noise_params = nparams
+        self._noise_cache = ncache
+        self._noise_mult = noise_mult
+        self._noise_stats = (z_m, z_s, lbar)
+        self._noise_zt = zt  # persisted by save() so load() can rebuild ncache
+        self._params = params
+        self._neg_logp = float(neg_logp)
+        self._fit_aux = {k: np.asarray(v) for k, v in aux.items()}
+        self.MAP = {k: np.asarray(v) for k, v in params.items()}
+        self._cache = posterior_cache(spec, params, xc, xk, y, noise_mult=noise_mult)
+        return self.MAP
+
+    def _het_noise_mult_at(self, xc_new, xk_new):
+        """Relative noise variance exp(l(x) − l̄) at new points (het inputs)."""
+        noise_spec = GPSpec(
+            terms=self._spec.terms, d_cont=self._spec.d_cont,
+            ard=self._spec.ard, period=self._spec.period,
+        )
+        g, _ = predict_diag(
+            noise_spec, self._noise_params, self._noise_cache, xc_new, xk_new,
+            with_noise=False,
+        )
+        z_m, z_s, lbar = self._noise_stats
+        return jnp.exp(z_m + z_s * g - lbar)
+
     def _ensure_dense_cache(self):
         """Dense tall-basis factorization, built lazily when a path (BO,
         joint sampling) needs full covariances the Kronecker cache lacks."""
@@ -807,7 +941,8 @@ class GP(Regressor):
             )
         if self._cache is None:
             self._cache = posterior_cache(
-                self._spec, self._params, self._xc, self._xk, self._yz, mask=self._mask
+                self._spec, self._params, self._xc, self._xk, self._yz,
+                mask=self._mask, noise_mult=getattr(self, "_noise_mult", None),
             )
         return self._cache
 
@@ -885,9 +1020,17 @@ class GP(Regressor):
                     i = end
                 return np.concatenate(means), np.concatenate(vars_)
             cache = self._ensure_dense_cache()
+            het = getattr(self, "heteroskedastic_inputs", False) and self._noise_params is not None
             mean, var = sharded_predict_diag(
-                mesh, self._spec, self._params, cache, xc, xk, with_noise=with_noise
+                mesh, self._spec, self._params, cache, xc, xk,
+                with_noise=with_noise and not het,
             )
+            if het and with_noise:
+                from ..ops.kernels import noise_diag
+
+                var = var + noise_diag(
+                    self._spec, self._params, xk, dtype=var.dtype
+                ) * self._het_noise_mult_at(xc, xk)
             return np.asarray(mean), np.asarray(var)
         if self.sparse:
             from ..ops.fitc import fitc_predict
@@ -903,10 +1046,19 @@ class GP(Regressor):
         else:
             from ..ops.posterior import predict_diag_chunked
 
+            het = getattr(self, "heteroskedastic_inputs", False) and self._noise_params is not None
             mean, var = predict_diag_chunked(
                 self._spec, self._params, self._ensure_dense_cache(), xc, xk,
-                with_noise=with_noise, chunk=8192,
+                with_noise=with_noise and not het, chunk=8192,
             )
+            if het and with_noise:
+                # Predictive noise = (learnable global σ², output-coregion
+                # scaled) × the noise GP's location-dependent shape.
+                from ..ops.kernels import noise_diag
+
+                var = var + noise_diag(
+                    self._spec, self._params, xk, dtype=var.dtype
+                ) * self._het_noise_mult_at(xc, xk)
         return np.asarray(mean), np.asarray(var)
 
     def _independent_predict_tall(self, xc, xk, with_noise):
@@ -1013,9 +1165,12 @@ class GP(Regressor):
         from ..ops.mll import map_neg_logp
 
         def logp(uparams):
+            # With heteroskedastic inputs the hyperparameter posterior is
+            # conditional on the fitted noise shape (the noise GP stays at
+            # its MAP — the reference has no analog of this path at all).
             return -map_neg_logp(
                 self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta,
-                mask=self._mask,
+                mask=self._mask, noise_mult=getattr(self, "_noise_mult", None),
             )
 
         if self._params is not None:
@@ -1582,6 +1737,15 @@ class GP(Regressor):
                 arrays.update({f"ind{j}::{k}": np.asarray(v) for k, v in p.items()})
         if self._mask is not None:
             arrays["mask"] = np.asarray(self._mask)
+        if getattr(self, "_noise_params", None) is not None:
+            # Heteroskedastic-input state: noise-GP MAP, its (standardized
+            # log-residual) targets for cache rebuild, and the z-stats.
+            arrays.update(
+                {f"noise::{k}": np.asarray(v) for k, v in self._noise_params.items()}
+            )
+            arrays["noise_zt"] = np.asarray(self._noise_zt)
+            arrays["noise_mult"] = np.asarray(self._noise_mult)
+            arrays["noise_stats"] = np.asarray(self._noise_stats, dtype=np.float64)
         np.savez(path, __meta__=json.dumps(meta, default=str), **arrays)
 
     @classmethod
@@ -1687,6 +1851,29 @@ class GP(Regressor):
                     for out in gp.outputs
                 }
             return gp
+        # Heteroskedastic-input state (noise GP over log residuals)
+        gp.heteroskedastic_inputs = bool(
+            (gp.model_specs or {}).get("heteroskedastic_inputs", False)
+        )
+        if "noise_zt" in arrays:
+            gp._noise_params = {
+                k[len("noise::"):]: jnp.asarray(
+                    v, dtype=(jnp.int32 if v.dtype.kind == "i" else gp._dtype)
+                )
+                for k, v in arrays.items()
+                if k.startswith("noise::")
+            }
+            gp._noise_zt = jnp.asarray(arrays["noise_zt"], dtype=gp._dtype)
+            gp._noise_mult = jnp.asarray(arrays["noise_mult"], dtype=gp._dtype)
+            gp._noise_stats = tuple(float(v) for v in arrays["noise_stats"])
+            noise_spec = GPSpec(
+                terms=gp._spec.terms, d_cont=gp._spec.d_cont,
+                ard=gp._spec.ard, period=gp._spec.period,
+            )
+            gp._noise_cache = posterior_cache(
+                noise_spec, gp._noise_params, gp._xc, gp._xk, gp._noise_zt
+            )
+
         if params:
             gp._params = params
             gp.MAP = {k: np.asarray(v) for k, v in params.items()}
@@ -1698,7 +1885,8 @@ class GP(Regressor):
                 gp._kron_cache = kron_cache(gp._spec, gp._params, gp._xc_locs, gp._Y)
             elif not gp.sparse:
                 gp._cache = posterior_cache(
-                    gp._spec, gp._params, gp._xc, gp._xk, gp._yz, mask=gp._mask
+                    gp._spec, gp._params, gp._xc, gp._xk, gp._yz, mask=gp._mask,
+                    noise_mult=getattr(gp, "_noise_mult", None),
                 )
         return gp
 

@@ -31,7 +31,9 @@ __all__ = ["mll", "map_neg_logp", "cholesky_factor", "DEFAULT_JITTER"]
 DEFAULT_JITTER = 1e-6
 
 
-def _noisy_gram(spec: GPSpec, params, xc, xk, jitter=DEFAULT_JITTER, mask=None):
+def _noisy_gram(
+    spec: GPSpec, params, xc, xk, jitter=DEFAULT_JITTER, mask=None, noise_mult=None
+):
     """K(X, X) + noise·I (+ jitter), with masked rows as identity rows.
 
     ``mask`` (0/1 per row, optional) supports bucket-padded data: masked-out
@@ -39,18 +41,29 @@ def _noisy_gram(spec: GPSpec, params, xc, xk, jitter=DEFAULT_JITTER, mask=None):
     quadratic form and log-determinant, so a padded problem's MLL equals the
     unpadded one. Bucketing keeps array shapes static as datasets grow
     (lab-loop refits reuse the compiled program instead of recompiling).
+
+    ``noise_mult`` (positive per-row factor, optional) scales the observation
+    noise variance per point — the mechanism behind heteroskedastic inputs
+    (input-dependent noise; the reference declares this NotImplemented,
+    ref gumbi/regression/pymc/GP.py:518-519). The learnable σ² remains the
+    global scale; ``noise_mult`` carries the location-dependent shape.
     """
     K = gram(spec, params, xc, xk, xc, xk)
-    d = noise_diag(spec, params, xk, dtype=K.dtype) + jitter
+    d = noise_diag(spec, params, xk, dtype=K.dtype)
+    if noise_mult is not None:
+        d = d * noise_mult
+    d = d + jitter
     if mask is not None:
         K = K * (mask[:, None] * mask[None, :])
         d = mask * d + (1.0 - mask)
     return K + jnp.diag(d)
 
 
-def cholesky_factor(spec: GPSpec, params, xc, xk, y_dtype, jitter=DEFAULT_JITTER, mask=None):
+def cholesky_factor(
+    spec: GPSpec, params, xc, xk, y_dtype, jitter=DEFAULT_JITTER, mask=None, noise_mult=None
+):
     """Cholesky of K(X, X) + noise·I (+ jitter); see :func:`_noisy_gram`."""
-    return jnp.linalg.cholesky(_noisy_gram(spec, params, xc, xk, jitter, mask))
+    return jnp.linalg.cholesky(_noisy_gram(spec, params, xc, xk, jitter, mask, noise_mult))
 
 
 def _gaussian_logp_from_K(Kn, y, mask=None):
@@ -71,14 +84,15 @@ def _gaussian_logp_from_K(Kn, y, mask=None):
 
 
 @partial(jax.jit, static_argnums=0)
-def mll(spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER, mask=None):
+def mll(spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER, mask=None, noise_mult=None):
     """Gaussian marginal log-likelihood log p(y | X, θ)."""
-    Kn = _noisy_gram(spec, params, xc, xk, jitter, mask)
+    Kn = _noisy_gram(spec, params, xc, xk, jitter, mask, noise_mult)
     return _gaussian_logp_from_K(Kn, y, mask)
 
 
 def map_neg_logp(
-    spec: GPSpec, uparams, xc, xk, y, ls_alpha, ls_beta, jitter=DEFAULT_JITTER, mask=None
+    spec: GPSpec, uparams, xc, xk, y, ls_alpha, ls_beta, jitter=DEFAULT_JITTER, mask=None,
+    noise_mult=None,
 ):
     """Negative joint log-density −[log p(y|θ) + log p(θ)] in unconstrained space.
 
@@ -86,7 +100,7 @@ def map_neg_logp(
     rather than stepping into invalid regions.
     """
     params = constrain(uparams)
-    Kn = _noisy_gram(spec, params, xc, xk, jitter, mask)
+    Kn = _noisy_gram(spec, params, xc, xk, jitter, mask, noise_mult)
     data_logp = _gaussian_logp_from_K(Kn, y, mask)
     total = data_logp + log_prior(spec, uparams, ls_alpha, ls_beta)
     return jnp.where(jnp.isfinite(total), -total, jnp.inf)

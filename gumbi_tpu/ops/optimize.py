@@ -299,6 +299,7 @@ def fit_gp_map(
     jitter=DEFAULT_JITTER,
     restart_chunk=None,
     mask=None,
+    noise_mult=None,
 ):
     """MAP-fit the GP hyperparameters by multi-restart L-BFGS on device.
 
@@ -307,11 +308,14 @@ def fit_gp_map(
     neg_logp_best, aux) where aux carries per-restart diagnostics.
     ``restart_chunk`` bounds concurrent restarts (memory control at large N);
     ``mask`` marks valid rows of bucket-padded data (shapes stay static as
-    datasets grow, avoiding recompiles in lab loops).
+    datasets grow, avoiding recompiles in lab loops); ``noise_mult`` fixes a
+    per-row relative noise variance (heteroskedastic-input fits).
     """
 
     def objective(uparams):
-        return map_neg_logp(spec, uparams, xc, xk, y, ls_alpha, ls_beta, jitter, mask)
+        return map_neg_logp(
+            spec, uparams, xc, xk, y, ls_alpha, ls_beta, jitter, mask, noise_mult
+        )
 
     u_best, f_best, aux = multi_restart_minimize(
         objective, u0s, maxiter=maxiter, tol=tol, chunk=restart_chunk

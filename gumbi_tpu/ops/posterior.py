@@ -41,9 +41,9 @@ class PosteriorCache(NamedTuple):
 
 @partial(jax.jit, static_argnums=0)
 def posterior_cache(
-    spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER, mask=None
+    spec: GPSpec, params, xc, xk, y, jitter=DEFAULT_JITTER, mask=None, noise_mult=None
 ) -> PosteriorCache:
-    L = cholesky_factor(spec, params, xc, xk, y.dtype, jitter, mask)
+    L = cholesky_factor(spec, params, xc, xk, y.dtype, jitter, mask, noise_mult)
     y_eff = y if mask is None else y * mask
     alpha = jsl.cho_solve((L, True), y_eff)
     return PosteriorCache(L=L, alpha=alpha, xc=xc, xk=xk, mask=mask)
