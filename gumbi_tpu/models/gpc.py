@@ -51,8 +51,11 @@ class GPC(GP):
             raise NotImplementedError("The GPC does not support heteroskedastic inputs.")
         if heteroskedastic_outputs:
             raise NotImplementedError("The GPC does not support heteroskedastic outputs.")
-        if sparse:
-            raise NotImplementedError("The GPC does not support sparse structure (yet).")
+        if sparse and bucket:
+            raise NotImplementedError(
+                "sparse + bucket is unnecessary for the GPC: the FITC-Laplace "
+                "fit is O(N·m²), so refits are cheap without padding."
+            )
         if multitask_kernel not in (None, "Hadamard"):
             raise NotImplementedError(
                 "The GPC latent model is always the tall Hadamard structure "
@@ -63,6 +66,8 @@ class GPC(GP):
 
         # Reuse the regression build for spec/data/prior construction, then
         # adjust for the latent likelihood: no Gaussian noise, binary targets.
+        # (sparse=False here: inducing points are selected below, AFTER the
+        # classifier's finite-row filtering, so centers see the real data.)
         super().build_model(
             seed=seed,
             continuous_kernel=continuous_kernel,
@@ -114,6 +119,24 @@ class GPC(GP):
         self._yz = jnp.asarray(y, dtype=self._dtype)
         self._xc = jnp.asarray(xc, dtype=self._dtype)
         self._xk = jnp.asarray(xk, dtype=jnp.int32)
+
+        # Sparse FITC classifier: beyond the reference (sparse + latent is
+        # NotImplemented there, ref GP.py:587). k-means inducing points over
+        # the filtered data, same recipe as the sparse regressor.
+        self.sparse = bool(sparse)
+        if sparse:
+            from ..ops.fitc import kmeans_inducing
+
+            d_cont = self._spec.d_cont
+            full = np.column_stack([xc, np.asarray(xk, dtype=float)])
+            centers = kmeans_inducing(full, n_u, seed=self.seed if seed is None else seed)
+            self._xu_c = jnp.asarray(centers[:, :d_cont], dtype=self._dtype)
+            if xk.shape[1]:
+                k_cols = np.clip(np.round(centers[:, d_cont:]), 0, None).astype(np.int32)
+                maxes = np.asarray(xk).max(axis=0)
+                self._xu_k = jnp.asarray(np.minimum(k_cols, maxes), dtype=jnp.int32)
+            else:
+                self._xu_k = jnp.zeros((centers.shape[0], 0), dtype=jnp.int32)
         return self
 
     def find_MAP(self, n_restarts=8, maxiter=300, tol=1e-6, seed=None, **kwargs):
@@ -128,18 +151,29 @@ class GPC(GP):
         ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
         ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
 
-        # laplace_mll ships the exact analytic gradient at the mode as a
-        # custom VJP (GPML eqs. 5.21-5.24, ops/laplace.py), so gradients
-        # never differentiate through the inner Newton loop's Cholesky and
-        # restarts use the same per-backend default mode as the regressor.
-        # fit_laplace_map is a module-level jit: repeated classifier fits
-        # reuse one compiled program per (spec, shapes).
-        from ..ops.optimize import fit_laplace_map
+        if self.sparse:
+            # FITC-Laplace: O(N·m²) evidence, gradients through the Newton
+            # loop directly (only an m×m factorization inside).
+            from ..ops.optimize import fit_fitc_laplace_map
 
-        u_best, f_best, aux = fit_laplace_map(
-            self._spec, self._xc, self._xk, self._yz, ls_alpha, ls_beta, u0s,
-            maxiter=maxiter, tol=tol, mask=self._mask,
-        )
+            u_best, f_best, aux = fit_fitc_laplace_map(
+                self._spec, self._xc, self._xk, self._xu_c, self._xu_k,
+                self._yz, ls_alpha, ls_beta, u0s,
+                maxiter=maxiter, tol=tol, mask=self._mask,
+            )
+        else:
+            # laplace_mll ships the exact analytic gradient at the mode as a
+            # custom VJP (GPML eqs. 5.21-5.24, ops/laplace.py), so gradients
+            # never differentiate through the inner Newton loop's Cholesky and
+            # restarts use the same per-backend default mode as the regressor.
+            # fit_laplace_map is a module-level jit: repeated classifier fits
+            # reuse one compiled program per (spec, shapes).
+            from ..ops.optimize import fit_laplace_map
+
+            u_best, f_best, aux = fit_laplace_map(
+                self._spec, self._xc, self._xk, self._yz, ls_alpha, ls_beta, u0s,
+                maxiter=maxiter, tol=tol, mask=self._mask,
+            )
         from ..ops.priors import constrain
 
         self._params = constrain(u_best)
@@ -193,6 +227,12 @@ class GPC(GP):
             q0 = {k: v[0] for k, v in u0s.items()}
 
         if latent:
+            if self.sparse:
+                raise NotImplementedError(
+                    "sample(latent=True) runs on the dense latent field; the "
+                    "sparse FITC classifier samples hyperparameters only "
+                    "(latent=False)."
+                )
             from ..ops.ess import ess_gpc_sample
 
             usamples, f_draws, stats = ess_gpc_sample(
@@ -209,11 +249,21 @@ class GPC(GP):
 
         from ..ops.hmc import hmc_sample
 
-        def logp(uparams):
-            return -laplace_neg_logp(
-                self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta,
-                mask=self._mask,
-            )
+        if self.sparse:
+            from ..ops.fitc_laplace import fitc_laplace_neg_logp
+
+            def logp(uparams):
+                return -fitc_laplace_neg_logp(
+                    self._spec, uparams, self._xc, self._xk,
+                    self._xu_c, self._xu_k, self._yz, ls_alpha, ls_beta,
+                    mask=self._mask,
+                )
+        else:
+            def logp(uparams):
+                return -laplace_neg_logp(
+                    self._spec, uparams, self._xc, self._xk, self._yz, ls_alpha, ls_beta,
+                    mask=self._mask,
+                )
 
         usamples, stats = hmc_sample(
             logp, q0, jax.random.PRNGKey(seed),
@@ -231,10 +281,18 @@ class GPC(GP):
             raise NotImplementedError("Prediction for additive sublevels is not yet supported.")
         assert self._params is not None, "Model must be fit before predicting"
         xc, xk = self._split_X(np.asarray(points_array))
-        mean, var, prob = laplace_predict(
-            self._spec, self._params, self._xc, self._xk, self._yz, xc, xk,
-            mask=self._mask,
-        )
+        if self.sparse:
+            from ..ops.fitc_laplace import fitc_laplace_predict
+
+            mean, var, prob = fitc_laplace_predict(
+                self._spec, self._params, self._xc, self._xk,
+                self._xu_c, self._xu_k, self._yz, xc, xk, mask=self._mask,
+            )
+        else:
+            mean, var, prob = laplace_predict(
+                self._spec, self._params, self._xc, self._xk, self._yz, xc, xk,
+                mask=self._mask,
+            )
         self._last_prob = np.asarray(prob)
         return np.asarray(mean), np.asarray(var)
 
@@ -251,6 +309,12 @@ class GPC(GP):
         from scipy.special import expit
 
         from ..ops.laplace import laplace_draw_latent
+
+        if self.sparse:
+            raise NotImplementedError(
+                "Joint latent draws are implemented for the dense classifier; "
+                "the sparse FITC path predicts marginals (predict_proba)."
+            )
 
         output = self._parse_prediction_output(output)
         points_array, _, _ = self._prepare_points_for_prediction(points, output=output)

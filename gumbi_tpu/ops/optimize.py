@@ -285,6 +285,27 @@ def fit_laplace_map(
     return u_best, f_best, aux
 
 
+def fit_fitc_laplace_map(
+    spec: GPSpec, xc, xk, xu_c, xu_k, y, ls_alpha, ls_beta, u0s,
+    maxiter=300, tol=1e-6, mask=None,
+):
+    """MAP-fit sparse-classifier hyperparameters on the FITC-Laplace evidence.
+
+    Gradients differentiate through the O(N·m²) Newton loop directly — the
+    only factorization inside is the m×m chol(M), cheap to roll back
+    (unlike the dense path's N×N, which needed ops/laplace.py's custom VJP).
+    """
+    from .fitc_laplace import fitc_laplace_neg_logp
+
+    def objective(uparams):
+        return fitc_laplace_neg_logp(
+            spec, uparams, xc, xk, xu_c, xu_k, y, ls_alpha, ls_beta, mask=mask
+        )
+
+    u_best, f_best, aux = multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+    return u_best, f_best, aux
+
+
 @partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter", "restart_chunk"))
 def fit_gp_map(
     spec: GPSpec,
