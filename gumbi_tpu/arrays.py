@@ -997,7 +997,10 @@ class MVUncertainParameterArray(np.ndarray):
         cross_validate work.
         """
         if isinstance(target, LayeredArray):
-            target = target.values()
+            # Match layers by NAME: .values() stacks in the target's own layer
+            # order, which silently mispairs outputs when the target was built
+            # with layers in a different order than self.names.
+            target = target.as_dict()
         if isinstance(target, np.ndarray) and target.dtype.names:
             target = {name: target[name] for name in target.dtype.names}
         elif isinstance(target, np.ndarray):

@@ -740,7 +740,7 @@ class GP(Regressor):
 
                 params, neg_logp, aux = data_sharded_fit_gp_map(
                     mesh, self._spec, self._xc, self._xk, self._yz,
-                    ls_alpha, ls_beta, u0s, maxiter=maxiter,
+                    ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol,
                 )
                 # No eager posterior cache: the point of the data-sharded fit
                 # is that one device never holds the N×N factorization.
@@ -866,6 +866,12 @@ class GP(Regressor):
         stage reuses the engine's jitted fit/predict programs — on TPU the
         whole loop is 2·n_iter + 1 compiled-program invocations.
         """
+        if n_iter < 1:
+            raise ValueError(
+                "het_iters must be >= 1: zero alternations would leave no "
+                "fitted noise GP (a plain homoskedastic fit is the model "
+                "without heteroskedastic_inputs)."
+            )
         spec = self._spec
         xc, xk, y = self._xc, self._xk, self._yz
         params, neg_logp, aux = fit_gp_map(
@@ -1261,8 +1267,12 @@ class GP(Regressor):
             rows = []
             for i, idx in enumerate(idxs):
                 p = {k: jnp.asarray(v[idx], dtype=self._dtype) for k, v in flat.items()}
+                # Heteroskedastic-input fits sampled the trace conditioned on
+                # the fitted noise shape (sample()'s logp passes noise_mult);
+                # the per-draw caches must condition on the same likelihood.
                 cache_i = posterior_cache(
-                    self._spec, p, self._xc, self._xk, self._yz, mask=self._mask
+                    self._spec, p, self._xc, self._xk, self._yz, mask=self._mask,
+                    noise_mult=getattr(self, "_noise_mult", None),
                 )
                 s = draw_samples(
                     self._spec, p, cache_i, xc, xk, jax.random.fold_in(key, i),
@@ -1477,7 +1487,11 @@ class GP(Regressor):
                         # Ragged-safe: per-output blocks from the sub-model data
                         halves = [np.asarray(y_j) for (_, _, y_j) in self._ind_data]
                     else:
-                        y = np.asarray(self._yz)
+                        # Slice off bucket-padding rows first: the padded
+                        # zeros sit at the tail of the tall vector, so an
+                        # unmasked split would mix outputs across block
+                        # boundaries AND count phantom zeros in the min/max.
+                        y = np.asarray(self._yz)[:n_real_rows]
                         halves = np.split(y, d_out)
                     rp = [
                         (h.min() - 1e-3) if maximize else -(h.max() + 1e-3) for h in halves

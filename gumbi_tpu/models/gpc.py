@@ -190,7 +190,7 @@ class GPC(GP):
         chains=2,
         seed=None,
         n_leapfrog=32,
-        target_accept=0.8,
+        target_accept=None,
         latent=False,
         ess_sweeps=4,
         **kwargs,
@@ -210,6 +210,10 @@ class GPC(GP):
           carries ``_latent_f`` (chains, draws, N) latent function draws at
           the training points, which :meth:`predict_proba` integrates over
           when passed as ``source``.
+
+        ``target_accept`` defaults per kernel: 0.8 for HMC (latent=False),
+        0.3 for the random-walk Metropolis hyper move (latent=True, near the
+        0.234 RWM optimum); pass a value to override either.
         """
         import jax
 
@@ -239,6 +243,7 @@ class GPC(GP):
                 self._spec, q0, self._xc, self._xk, self._yz,
                 ls_alpha, ls_beta, jax.random.PRNGKey(seed),
                 draws=draws, tune=tune, chains=chains, ess_sweeps=ess_sweeps,
+                target_accept=0.3 if target_accept is None else float(target_accept),
                 mask=self._mask,
             )
             natural = constrain(usamples)
@@ -267,8 +272,8 @@ class GPC(GP):
 
         usamples, stats = hmc_sample(
             logp, q0, jax.random.PRNGKey(seed),
-            draws=draws, tune=tune, chains=chains,
-            n_leapfrog=n_leapfrog, target_accept=target_accept,
+            draws=draws, tune=tune, chains=chains, n_leapfrog=n_leapfrog,
+            target_accept=0.8 if target_accept is None else float(target_accept),
         )
         natural = constrain(usamples)
         self.trace = {k: np.asarray(v) for k, v in natural.items()}

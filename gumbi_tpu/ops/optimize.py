@@ -285,12 +285,15 @@ def fit_laplace_map(
     return u_best, f_best, aux
 
 
+@partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter", "tol"))
 def fit_fitc_laplace_map(
     spec: GPSpec, xc, xk, xu_c, xu_k, y, ls_alpha, ls_beta, u0s,
     maxiter=300, tol=1e-6, mask=None,
 ):
     """MAP-fit sparse-classifier hyperparameters on the FITC-Laplace evidence.
 
+    Same module-level-jit rationale as :func:`fit_laplace_map` (repeated
+    sparse-classifier fits reuse one compiled program per (spec, shapes)).
     Gradients differentiate through the O(N·m²) Newton loop directly — the
     only factorization inside is the m×m chol(M), cheap to roll back
     (unlike the dense path's N×N, which needed ops/laplace.py's custom VJP).

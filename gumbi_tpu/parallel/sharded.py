@@ -213,6 +213,7 @@ def data_sharded_fit_gp_map(
     ls_beta,
     u0s,
     maxiter=250,
+    tol=1e-6,
     jitter=DEFAULT_JITTER,
 ):
     """MAP fit where the N-axis (Gram + Cholesky) shards over 'data'.
@@ -231,7 +232,7 @@ def data_sharded_fit_gp_map(
         return jnp.where(jnp.isfinite(total), -total, jnp.inf)
 
     run_one = jax.jit(
-        lambda u0: lbfgs_backtracking_minimize(objective, u0, maxiter=maxiter)
+        lambda u0: lbfgs_backtracking_minimize(objective, u0, maxiter=maxiter, ftol=tol)
     )
     R = jax.tree_util.tree_leaves(u0s)[0].shape[0]
     best = (None, jnp.inf, None)
