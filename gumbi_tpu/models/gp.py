@@ -612,19 +612,15 @@ class GP(Regressor):
         self._ls_alpha, self._ls_beta = ls_prior_params(lowers, uppers, mass=mass)
 
         if sparse:
-            from ..ops.fitc import kmeans_inducing
+            from ..ops.fitc import select_inducing
 
-            # k-means over the stacked (continuous z, categorical index) matrix,
-            # then snap categorical columns back to valid level indices.
-            full = np.column_stack([np.asarray(self._xc), np.asarray(self._xk, dtype=float)])
-            centers = kmeans_inducing(full, n_u, seed=seed)
-            self._xu_c = jnp.asarray(centers[:, :d_cont], dtype=self._dtype)
-            if self._xk.shape[1]:
-                k_cols = np.clip(np.round(centers[:, d_cont:]), 0, None).astype(np.int32)
-                maxes = np.asarray(self._xk).max(axis=0)
-                self._xu_k = jnp.asarray(np.minimum(k_cols, maxes), dtype=jnp.int32)
-            else:
-                self._xu_k = jnp.zeros((centers.shape[0], 0), dtype=jnp.int32)
+            # k-means over the stacked (continuous z, categorical index) matrix
+            # of REAL rows (bucket padding excluded), categorical columns
+            # snapped back to valid level indices.
+            self._xu_c, self._xu_k = select_inducing(
+                self._xc, self._xk, n_u, d_cont, seed, self._dtype,
+                mask=self._mask,
+            )
         return self
 
     def build_latent(self, *args, **kwargs):
@@ -772,6 +768,7 @@ class GP(Regressor):
                 return fitc_neg_logp(
                     self._spec, uparams, self._xc, self._xk,
                     self._xu_c, self._xu_k, self._yz, ls_alpha, ls_beta,
+                    mask=self._mask,
                 )
 
             u_best, neg_logp, aux = jax.jit(
@@ -1044,6 +1041,7 @@ class GP(Regressor):
             mean, var = fitc_predict(
                 self._spec, self._params, self._xc, self._xk,
                 self._xu_c, self._xu_k, self._yz, xc, xk, with_noise=with_noise,
+                mask=self._mask,
             )
         elif self._structure == "Kronecker":
             mean, var = self._kron_predict_tall(xc, xk, with_noise)

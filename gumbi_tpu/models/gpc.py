@@ -125,18 +125,13 @@ class GPC(GP):
         # the filtered data, same recipe as the sparse regressor.
         self.sparse = bool(sparse)
         if sparse:
-            from ..ops.fitc import kmeans_inducing
+            from ..ops.fitc import select_inducing
 
-            d_cont = self._spec.d_cont
-            full = np.column_stack([xc, np.asarray(xk, dtype=float)])
-            centers = kmeans_inducing(full, n_u, seed=self.seed if seed is None else seed)
-            self._xu_c = jnp.asarray(centers[:, :d_cont], dtype=self._dtype)
-            if xk.shape[1]:
-                k_cols = np.clip(np.round(centers[:, d_cont:]), 0, None).astype(np.int32)
-                maxes = np.asarray(xk).max(axis=0)
-                self._xu_k = jnp.asarray(np.minimum(k_cols, maxes), dtype=jnp.int32)
-            else:
-                self._xu_k = jnp.zeros((centers.shape[0], 0), dtype=jnp.int32)
+            self._xu_c, self._xu_k = select_inducing(
+                xc, xk, n_u, self._spec.d_cont,
+                self.seed if seed is None else seed, self._dtype,
+                mask=self._mask,
+            )
         return self
 
     def find_MAP(self, n_restarts=8, maxiter=300, tol=1e-6, seed=None, **kwargs):

@@ -21,7 +21,13 @@ from .linalg import quad_and_logdet, spd_solve
 from .mll import DEFAULT_JITTER
 from .priors import constrain, log_prior
 
-__all__ = ["kmeans_inducing", "fitc_mll", "fitc_neg_logp", "fitc_predict"]
+__all__ = [
+    "kmeans_inducing",
+    "select_inducing",
+    "fitc_mll",
+    "fitc_neg_logp",
+    "fitc_predict",
+]
 
 
 def kmeans_inducing(X: np.ndarray, n_u: int, seed: int = 0, n_iter: int = 25) -> np.ndarray:
@@ -45,6 +51,34 @@ def kmeans_inducing(X: np.ndarray, n_u: int, seed: int = 0, n_iter: int = 25) ->
     return centers
 
 
+def select_inducing(xc, xk, n_u, d_cont, seed, dtype, mask=None):
+    """k-means inducing inputs over the REAL rows of a (possibly padded) design.
+
+    Shared by the sparse regressor and classifier (reference recipe:
+    pm.gp.util.kmeans_inducing_points, ref pymc/GP.py:571-578). Bucket-padded
+    rows are all-zero placeholders at the tail of the design matrix; ``mask``
+    slices them off before clustering so they cannot pull centers toward the
+    origin (and so the ``n_u >= n`` early-exit sees the true row count).
+    Categorical columns are clustered as floats, then snapped back to valid
+    level indices. Returns (xu_c, xu_k) device arrays.
+    """
+    xc = np.asarray(xc, dtype=float)
+    xk = np.asarray(xk)
+    if mask is not None:
+        n_real = int(np.asarray(mask).sum())
+        xc, xk = xc[:n_real], xk[:n_real]
+    full = np.column_stack([xc, xk.astype(float)])
+    centers = kmeans_inducing(full, n_u, seed=seed)
+    xu_c = jnp.asarray(centers[:, :d_cont], dtype=dtype)
+    if xk.shape[1]:
+        k_cols = np.clip(np.round(centers[:, d_cont:]), 0, None).astype(np.int32)
+        maxes = xk.max(axis=0)
+        xu_k = jnp.asarray(np.minimum(k_cols, maxes), dtype=jnp.int32)
+    else:
+        xu_k = jnp.zeros((centers.shape[0], 0), dtype=jnp.int32)
+    return xu_c, xu_k
+
+
 def _stabilized_kuu(spec: GPSpec, params, xu_c, xu_k, dtype, jitter):
     """Kuu with a dtype-aware relative jitter.
 
@@ -60,8 +94,13 @@ def _stabilized_kuu(spec: GPSpec, params, xu_c, xu_k, dtype, jitter):
     return Kuu + rel * jnp.mean(jnp.diag(Kuu)) * jnp.eye(m, dtype=dtype)
 
 
-def _fitc_common(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter):
-    """Shared FITC factorizations: Luu, A, Λ, LB, c (forward-only paths)."""
+def _fitc_common(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter, mask=None):
+    """Shared FITC factorizations: Luu, A, Λ, LB, c (forward-only paths).
+
+    ``mask`` (1=real row, 0=bucket padding) zeroes a padded row's weight
+    1/λᵢ everywhere it enters, which is EXACTLY equivalent to deleting the
+    row (its λ→∞ limit) while keeping shapes static.
+    """
     m = xu_c.shape[0]
     Kuu = _stabilized_kuu(spec, params, xu_c, xu_k, xc.dtype, jitter)
     Kux = gram(spec, params, xu_c, xu_k, xc, xk)  # (M, N)
@@ -72,14 +111,15 @@ def _fitc_common(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter):
     q_diag = jnp.sum(A * A, axis=0)
     lam = jnp.maximum(kxx_diag - q_diag, 0.0) + noise_diag(spec, params, xk, dtype=xc.dtype)
 
-    A_l = A / lam[None, :]
+    w = 1.0 / lam if mask is None else mask / lam
+    A_l = A * w[None, :]
     B = jnp.eye(m, dtype=xc.dtype) + A_l @ A.T
     LB = jnp.linalg.cholesky(B)
     c = jsl.solve_triangular(LB, A_l @ y, lower=True)  # (M,)
     return Luu, A, lam, LB, c
 
 
-def fitc_mll(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter=DEFAULT_JITTER):
+def fitc_mll(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter=DEFAULT_JITTER, mask=None):
     """FITC approximate marginal log-likelihood (Snelson & Ghahramani).
 
     Expressed through the Woodbury identity on ``Kuu + KuxΛ⁻¹Kxu`` so every
@@ -90,8 +130,12 @@ def fitc_mll(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter=DEFAULT_JITTER)
 
     This keeps the sparse objective vmap-safe on TPU (no batched Cholesky /
     triangular-solve VJPs under multi-restart optimization).
+
+    ``mask`` (1=real, 0=bucket padding) makes the evidence EXACT for padded
+    designs: a padded row's weight 1/λᵢ is zeroed wherever it enters (the
+    λᵢ→∞ limit, i.e. row deletion), its Σlog λ term is dropped, and n counts
+    real rows only — all with static shapes, so lab loops never recompile.
     """
-    n = y.shape[0]
     Kuu = _stabilized_kuu(spec, params, xu_c, xu_k, xc.dtype, jitter)
     Kux = gram(spec, params, xu_c, xu_k, xc, xk)  # (M, N)
     V = spd_solve(Kuu, Kux)  # (M, N) = Kuu⁻¹ Kux
@@ -99,20 +143,31 @@ def fitc_mll(spec: GPSpec, params, xc, xk, xu_c, xu_k, y, jitter=DEFAULT_JITTER)
     kxx_diag = gram_diag(spec, params, xc, xk)
     lam = jnp.maximum(kxx_diag - q_diag, 0.0) + noise_diag(spec, params, xk, dtype=xc.dtype)
 
-    y_l = y / lam
+    if mask is None:
+        n = y.shape[0]
+        w = 1.0 / lam
+        logdet_lam = jnp.sum(jnp.log(lam))
+    else:
+        n = jnp.sum(mask)
+        w = mask / lam
+        logdet_lam = jnp.sum(mask * jnp.log(lam))
+    y_l = y * w
     Ky = Kux @ y_l  # (M,)
-    G = (Kux / lam[None, :]) @ Kux.T  # (M, M)
+    G = (Kux * w[None, :]) @ Kux.T  # (M, M)
     quad_w, logdet_kg = quad_and_logdet(Kuu + G, Ky)
     _, logdet_kuu = quad_and_logdet(Kuu, jnp.zeros_like(Ky))
     quad = jnp.sum(y * y_l) - quad_w
-    logdet = logdet_kg - logdet_kuu + jnp.sum(jnp.log(lam))
+    logdet = logdet_kg - logdet_kuu + logdet_lam
     return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
 
 
-def fitc_neg_logp(spec: GPSpec, uparams, xc, xk, xu_c, xu_k, y, ls_alpha, ls_beta, jitter=DEFAULT_JITTER):
+def fitc_neg_logp(
+    spec: GPSpec, uparams, xc, xk, xu_c, xu_k, y, ls_alpha, ls_beta,
+    jitter=DEFAULT_JITTER, mask=None,
+):
     """Negative (FITC MLL + hyperprior) in unconstrained space."""
     params = constrain(uparams)
-    total = fitc_mll(spec, params, xc, xk, xu_c, xu_k, y, jitter) + log_prior(
+    total = fitc_mll(spec, params, xc, xk, xu_c, xu_k, y, jitter, mask=mask) + log_prior(
         spec, uparams, ls_alpha, ls_beta
     )
     return jnp.where(jnp.isfinite(total), -total, jnp.inf)
@@ -131,9 +186,12 @@ def fitc_predict(
     xk_new,
     with_noise=True,
     jitter=DEFAULT_JITTER,
+    mask=None,
 ):
-    """FITC posterior mean/variance at new points."""
-    Luu, A, lam, LB, c = _fitc_common(spec, params, xc, xk, xu_c, xu_k, y, jitter)
+    """FITC posterior mean/variance at new points (mask: see _fitc_common)."""
+    Luu, A, lam, LB, c = _fitc_common(
+        spec, params, xc, xk, xu_c, xu_k, y, jitter, mask=mask
+    )
     Kus = gram(spec, params, xu_c, xu_k, xc_new, xk_new)  # (M, M*)
     w = jsl.solve_triangular(Luu, Kus, lower=True)  # (M, M*)
     wb = jsl.solve_triangular(LB, w, lower=True)  # (M, M*)

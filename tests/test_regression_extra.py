@@ -506,3 +506,29 @@ def test_periodic_save_load_preserves_model_specs(tmp_path):
     # The restored specs must be replayable (this is what cross_validate does)
     gp2.build_model(**gp2.model_specs)
     gp2.prepare_grid(resolution=10)
+
+
+def test_sparse_bucket_padding_exact(cars_ds):
+    """Sparse FITC fits with bucket padding must reproduce the unpadded
+    sparse fit exactly: select_inducing clusters only the real rows and the
+    masked FITC evidence/predictions zero the padded rows' 1/λ weights
+    (the λ→∞ row-deletion limit with static shapes)."""
+    common = dict(outputs=["mpg"], continuous_dims=["horsepower"],
+                  sparse=True, n_u=20, MAP_kwargs=dict(n_restarts=2, maxiter=100))
+    gp1 = GP(cars_ds)
+    gp1.fit(**common)
+    gp2 = GP(cars_ds)
+    gp2.fit(bucket=128, **common)
+    assert gp2._xc.shape[0] % 128 == 0
+    assert gp2._xc.shape[0] > gp1._xc.shape[0]  # padding actually happened
+    # Identical inducing points (k-means must not see padded zeros)
+    assert np.allclose(np.asarray(gp1._xu_c), np.asarray(gp2._xu_c))
+    # rtol 1e-6: masked reductions reorder float sums (a padding LEAK would
+    # shift the objective at the 1e-2 scale, ~6 orders above this)
+    assert np.isclose(gp1._neg_logp, gp2._neg_logp, rtol=1e-6)
+    gp1.prepare_grid(resolution=9)
+    gp2.prepare_grid(resolution=9)
+    y1 = gp1.predict_grid()
+    y2 = gp2.predict_grid()
+    assert np.allclose(y1.μ, y2.μ, rtol=1e-6)
+    assert np.allclose(y1.σ2, y2.σ2, rtol=1e-6)
