@@ -623,6 +623,42 @@ class GP(Regressor):
             )
         return self
 
+    @property
+    def D_tasks(self):
+        """Number of output tasks (reference gumbi/regression/botorch/GP.py:47-48)."""
+        return len(self.outputs)
+
+    @property
+    def task_idxs(self):
+        """Output-name → task-coordinate map (reference botorch/GP.py:50-55)."""
+        from ..utils import one
+
+        if self.D_tasks == 1:
+            return {one(self.outputs): 0}
+        return self.categorical_coords[self.out_col]
+
+    def get_separated_data(self, metric="mean", dropna=True):
+        """Per-output ``([X...], [y...])`` lists, split on the output
+        coordinate column of the tall shaped data with that column removed
+        (reference gumbi/regression/botorch/GP.py:283-294; numpy arrays here
+        instead of torch tensors)."""
+        X, y = self.get_shaped_data(metric=metric, dropna=dropna)
+        if len(self.outputs) == 1:
+            return [X], [y]
+        j = self.dims.index(self.out_col)
+        Xs, ys = [], []
+        for i in np.unique(X[:, j]):
+            idx = X[:, j] == i
+            Xs.append(np.delete(X[idx], j, axis=1))
+            ys.append(y[idx])
+        return Xs, ys
+
+    def fit_model(self, **kwargs):
+        """Optimize hyperparameters of an already-built model (reference
+        botorch/GP.py:387-392's ``fit_gpytorch_mll`` step); alias for
+        :meth:`find_MAP` so BotorchGP-style call sites port unchanged."""
+        return self.find_MAP(**kwargs)
+
     def build_latent(self, *args, **kwargs):
         """Latent-GP construction (reference GP.py:759-797).
 
@@ -969,23 +1005,7 @@ class GP(Regressor):
         """
         assert self._params is not None, "Model must be fit before predicting"
         if additive_level != "total":
-            if not self.additive:
-                raise ValueError(
-                    "additive_level is only meaningful for additive models "
-                    "(fit with additive=True)."
-                )
-            if self.sparse or self._structure in ("Kronecker", "Independent"):
-                raise NotImplementedError(
-                    "Sublevel prediction is implemented for the dense additive "
-                    "model (the structure additive models actually build)."
-                )
-            suffix = "total" if additive_level == "global" else additive_level
-            valid = {"global"} | {t.suffix for t in self._spec.terms if t.suffix != "total"}
-            if suffix not in {t.suffix for t in self._spec.terms}:
-                raise ValueError(
-                    f"additive_level {additive_level!r} not among this model's "
-                    f"components {sorted(valid)}"
-                )
+            suffix = self._parse_additive_level(additive_level)
             from ..ops.posterior import predict_diag_level
 
             xc, xk = self._split_X(np.asarray(points_array))
@@ -1201,8 +1221,48 @@ class GP(Regressor):
         self.trace["_stats"] = {k: np.asarray(v) for k, v in stats.items()}
         return self.trace
 
+    def _parse_additive_level(self, additive_level):
+        """Validate an ``additive_level`` request; return the term suffix or
+        None for 'total'. Shared by predict/draw paths."""
+        if additive_level == "total":
+            return None
+        if not self.additive:
+            raise ValueError(
+                "additive_level is only meaningful for additive models "
+                "(fit with additive=True)."
+            )
+        if self.sparse or self._structure in ("Kronecker", "Independent"):
+            raise NotImplementedError(
+                "Sublevel prediction is implemented for the dense additive "
+                "model (the structure additive models actually build)."
+            )
+        suffix = "total" if additive_level == "global" else additive_level
+        valid = {"global"} | {t.suffix for t in self._spec.terms if t.suffix != "total"}
+        if suffix not in {t.suffix for t in self._spec.terms}:
+            raise ValueError(
+                f"additive_level {additive_level!r} not among this model's "
+                f"components {sorted(valid)}"
+            )
+        return suffix
+
+    def _store_sample_var(self, var_name, increment_var, value):
+        """Reference var-name bookkeeping (GP.py:846-858): store draws under
+        ``var_name`` in :attr:`sample_vars`, appending '_' on collision when
+        ``increment_var`` is True, raising otherwise."""
+        if not hasattr(self, "sample_vars") or self.sample_vars is None:
+            self.sample_vars = {}
+        while var_name in self.sample_vars:
+            if not increment_var:
+                raise ValueError(
+                    f'The variable name "{var_name}" already exists in model.'
+                )
+            var_name = var_name + "_"
+        self.sample_vars[var_name] = value
+        return var_name
+
     def draw_point_samples(
-        self, points, n_samples=1, output=None, with_noise=False, seed=None, source=None
+        self, points, n_samples=1, output=None, with_noise=False, seed=None, source=None,
+        additive_level="total", var_name="posterior_samples", increment_var=True,
     ):
         """Joint posterior draws at supplied points, returned as a parray.
 
@@ -1216,8 +1276,18 @@ class GP(Regressor):
         NotImplemented (reference gumbi/regression/pymc/GP.py:898). For the
         ``Independent`` structure, outputs are uncorrelated by construction
         and are drawn from their per-output models (exact by definition).
+
+        ``additive_level`` draws from one component's conditional of an
+        additive model (reference GP.py:915-916 draws through
+        ``gp_dict[additive_level].conditional``): ``'total'`` (default) is the
+        full sum, ``'global'`` the shared continuous term, a categorical dim
+        name that dim's component. ``var_name``/``increment_var`` mirror the
+        reference's sample bookkeeping (GP.py:846-858): draws are stored in
+        ``self.sample_vars[var_name]``, appending ``'_'`` on collision when
+        ``increment_var`` (raising otherwise).
         Returns a parray with one layer per output, shape (n_samples, n_points).
         """
+        level = self._parse_additive_level(additive_level)
         output = self._parse_prediction_output(output)
         points_array, _, _ = self._prepare_points_for_prediction(points, output=output)
         xc, xk = self._split_X(np.asarray(points_array))
@@ -1253,6 +1323,7 @@ class GP(Regressor):
                     key,
                     n_samples=n_samples,
                     with_noise=with_noise,
+                    level=level,
                 )
                 out = np.asarray(samples).reshape(n_samples, d_out, n_pts)
         else:
@@ -1274,7 +1345,7 @@ class GP(Regressor):
                 )
                 s = draw_samples(
                     self._spec, p, cache_i, xc, xk, jax.random.fold_in(key, i),
-                    n_samples=1, with_noise=with_noise,
+                    n_samples=1, with_noise=with_noise, level=level,
                 )
                 rows.append(np.asarray(s)[0])
             out = np.stack(rows).reshape(n_samples, d_out, n_pts)
@@ -1283,6 +1354,7 @@ class GP(Regressor):
             **{name: out[:, i] for i, name in enumerate(output)}, stdzd=True
         )
         self.predictions_X = points
+        self._store_sample_var(var_name, increment_var, self.predictions)
         return self.predictions
 
     def draw_grid_samples(self, n_samples=1, output=None, categorical_levels=None, **kwargs):

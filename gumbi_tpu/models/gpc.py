@@ -297,19 +297,28 @@ class GPC(GP):
         return np.asarray(mean), np.asarray(var)
 
     def draw_point_samples(
-        self, points, n_samples=1, output=None, with_noise=False, seed=None, source=None
+        self, points, n_samples=1, output=None, with_noise=False, seed=None, source=None,
+        additive_level="total", var_name="posterior_samples", increment_var=True,
     ):
         """Posterior probability draws at supplied points.
 
         Latent-function draws from the Laplace posterior pushed through the
         logistic link. The sampled variable registers as a logit-normal for
         transform-aware downstream use (reference extras.py:57).
+        ``var_name``/``increment_var`` follow the reference bookkeeping
+        (stored in :attr:`sample_vars`); sublevel draws of the latent field
+        are not implemented.
         """
         import jax
         from scipy.special import expit
 
         from ..ops.laplace import laplace_draw_latent
 
+        if additive_level != "total":
+            raise NotImplementedError(
+                "Sublevel draws of the classifier's latent field are not "
+                "implemented (the Laplace cache factorizes the total kernel)."
+            )
         if self.sparse:
             raise NotImplementedError(
                 "Joint latent draws are implemented for the dense classifier; "
@@ -330,6 +339,7 @@ class GPC(GP):
             self.stdzr.logit_vars = self.stdzr.logit_vars + [name]
         self.predictions = self.parray(**{name: p_draws})
         self.predictions_X = points
+        self._store_sample_var(var_name, increment_var, self.predictions)
         return self.predictions
 
     def draw_grid_samples(self, n_samples=1, output=None, categorical_levels=None, **kwargs):

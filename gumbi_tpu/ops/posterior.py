@@ -25,6 +25,7 @@ __all__ = [
     "predict_diag_chunked",
     "predict_diag_level",
     "predict_cov",
+    "predict_cov_level",
     "draw_samples",
 ]
 
@@ -123,6 +124,29 @@ def predict_diag_chunked(
     return jnp.concatenate(means), jnp.concatenate(vars_)
 
 
+@partial(jax.jit, static_argnums=(0,), static_argnames=("level",))
+def predict_cov_level(spec: GPSpec, params, cache: PosteriorCache, xc_new, xk_new, level):
+    """Posterior mean and FULL covariance of one additive component.
+
+    Same decomposition as :func:`predict_diag_level` (solves against the
+    total-kernel cache, covariances restricted to the term), but returning
+    the joint covariance so sublevel function draws are exact — the engine
+    behind ``draw_point_samples(additive_level=...)`` (reference semantics:
+    ``gp_dict[additive_level].conditional``, reference
+    gumbi/regression/pymc/GP.py:915-916).
+    """
+    from .kernels import _term_gram
+
+    term = {t.suffix: t for t in spec.terms}[level]
+    Ks = _term_gram(spec, term, params, xc_new, xk_new, cache.xc, cache.xk)
+    if cache.mask is not None:
+        Ks = Ks * cache.mask[None, :]
+    mean = Ks @ cache.alpha
+    V = jsl.solve_triangular(cache.L, Ks.T, lower=True)
+    Kss = _term_gram(spec, term, params, xc_new, xk_new, xc_new, xk_new)
+    return mean, Kss - V.T @ V
+
+
 @partial(jax.jit, static_argnums=(0,), static_argnames=("with_noise",))
 def predict_cov(spec: GPSpec, params, cache: PosteriorCache, xc_new, xk_new, with_noise=False):
     """Posterior mean and full covariance at new points (for joint sampling)."""
@@ -138,7 +162,7 @@ def predict_cov(spec: GPSpec, params, cache: PosteriorCache, xc_new, xk_new, wit
     return mean, cov
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("n_samples", "with_noise"))
+@partial(jax.jit, static_argnums=(0,), static_argnames=("n_samples", "with_noise", "level"))
 def draw_samples(
     spec: GPSpec,
     params,
@@ -149,10 +173,16 @@ def draw_samples(
     n_samples=1,
     with_noise=False,
     jitter=DEFAULT_JITTER,
+    level=None,
 ):
     """Joint posterior draws at new points (replaces gp.conditional +
-    pm.sample_posterior_predictive, reference GP.py:861-979)."""
-    mean, cov = predict_cov(spec, params, cache, xc_new, xk_new, with_noise=with_noise)
+    pm.sample_posterior_predictive, reference GP.py:861-979). ``level``
+    draws from one additive component's conditional (reference
+    ``additive_level``); components carry no observation noise."""
+    if level is not None:
+        mean, cov = predict_cov_level(spec, params, cache, xc_new, xk_new, level=level)
+    else:
+        mean, cov = predict_cov(spec, params, cache, xc_new, xk_new, with_noise=with_noise)
     cov = cov + jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
     Lss = jnp.linalg.cholesky(cov)
     eps = jax.random.normal(key, (n_samples, mean.shape[0]), dtype=mean.dtype)

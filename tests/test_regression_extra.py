@@ -118,6 +118,86 @@ def test_additive_sublevel_prediction(cars_ds):
         gp2.predict(points_array[:, :1], additive_level="global")
 
 
+def test_botorch_surface_helpers(cars_ds):
+    """BotorchGP public-surface parity: D_tasks/task_idxs (ref botorch/GP.py:
+    47-55), get_separated_data (:283-294), fit_model alias (:387-392)."""
+    gp = GP(cars_ds)
+    gp.specify_model(outputs=["mpg", "acceleration"], continuous_dims=["horsepower"])
+    gp.build_model()
+    assert gp.D_tasks == 2
+    assert set(gp.task_idxs) == {"mpg", "acceleration"}
+
+    X, y = gp.get_shaped_data()
+    Xs, ys = gp.get_separated_data()
+    assert len(Xs) == len(ys) == 2
+    assert sum(len(b) for b in ys) == len(y)
+    # Each split block drops the output-coordinate column
+    assert all(b.shape[1] == X.shape[1] - 1 for b in Xs)
+
+    gp.fit_model(n_restarts=2, maxiter=60)
+    assert gp.MAP is not None
+
+    # Single-output: trivial split and task map
+    gp1 = GP(cars_ds)
+    gp1.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+    assert gp1.D_tasks == 1 and gp1.task_idxs == {"mpg": 0}
+    Xs1, ys1 = gp1.get_separated_data()
+    assert len(Xs1) == 1 and Xs1[0].shape[0] == ys1[0].shape[0]
+
+
+def test_additive_sublevel_draws(cars_ds):
+    """draw_point_samples(additive_level=...) — reference semantics (draws
+    through gp_dict[additive_level].conditional, ref GP.py:915-916).
+    Exact oracle: the sublevel joint covariance's mean/diagonal equal the
+    sublevel predict path; empirical draw moments converge to them."""
+    gp = GP(cars_ds)
+    gp.fit(
+        outputs=["mpg"],
+        categorical_dims=["origin"],
+        continuous_dims=["horsepower"],
+        additive=True,
+        MAP_kwargs=dict(n_restarts=2, maxiter=80),
+    )
+    gp.prepare_grid(resolution=7)
+    pts = gp.append_categorical_points(
+        gp.grid_points, categorical_levels={"origin": "usa"}
+    )
+    points_array, _, _ = gp._prepare_points_for_prediction(pts, output=["mpg"])
+
+    from gumbi_tpu.ops.posterior import predict_cov_level
+
+    xc, xk = gp._split_X(np.asarray(points_array))
+    mu_cov, cov = predict_cov_level(
+        gp._spec, gp._params, gp._ensure_dense_cache(), xc, xk, level="total"
+    )
+    mu_diag, var_diag = gp.predict(points_array, additive_level="global")
+    np.testing.assert_allclose(np.asarray(mu_cov), mu_diag, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.maximum(np.diag(np.asarray(cov)), 0.0), var_diag, rtol=1e-4, atol=1e-5
+    )
+
+    draws = gp.draw_point_samples(
+        pts, n_samples=4000, additive_level="global", seed=0
+    )
+    emp_mu = draws.values().mean(axis=0)
+    emp_sd = draws.values().std(axis=0)
+    # z-space comparisons (draws are in natural space; use the z view)
+    emp_mu_z = draws.z.values().mean(axis=0)
+    emp_sd_z = draws.z.values().std(axis=0)
+    np.testing.assert_allclose(emp_mu_z, mu_diag, atol=4.5 * np.sqrt(var_diag.max() / 4000) + 1e-3)
+    np.testing.assert_allclose(emp_sd_z, np.sqrt(var_diag), rtol=0.12, atol=1e-3)
+    assert np.all(np.isfinite(emp_mu)) and np.all(np.isfinite(emp_sd))
+
+    # var_name bookkeeping (reference GP.py:846-858)
+    assert "posterior_samples" in gp.sample_vars
+    gp.draw_point_samples(pts, n_samples=2, additive_level="origin")
+    assert "posterior_samples_" in gp.sample_vars
+    with pytest.raises(ValueError, match="already exists"):
+        gp.draw_point_samples(pts, n_samples=2, increment_var=False)
+    gp.draw_point_samples(pts, n_samples=2, var_name="my_draws")
+    assert "my_draws" in gp.sample_vars
+
+
 def test_2d_grid_and_conditional(cars_ds):
     gp = GP(cars_ds)
     gp.fit(
