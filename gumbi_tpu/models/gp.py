@@ -1295,6 +1295,39 @@ class GP(Regressor):
         d_out = len(output)
         n_pts = xc.shape[0] // d_out
 
+        if self.sparse:
+            # Joint draws through the FITC posterior (consistent with
+            # fitc_predict; the reference has no sparse sampling path).
+            from ..ops.fitc import fitc_draw_samples
+
+            def _fitc_draws(p, k, n_s):
+                return fitc_draw_samples(
+                    self._spec, p, self._xc, self._xk, self._xu_c, self._xu_k,
+                    self._yz, xc, xk, k, n_samples=n_s, with_noise=with_noise,
+                    mask=self._mask,
+                )
+
+            if source is None or source is self.MAP:
+                out = np.asarray(_fitc_draws(self._params, key, n_samples))
+            else:
+                trace = {k: v for k, v in source.items() if not k.startswith("_")}
+                chains, ndraws = next(iter(trace.values())).shape[:2]
+                flat = {k: v.reshape(chains * ndraws, *v.shape[2:]) for k, v in trace.items()}
+                rng = np.random.default_rng(self.seed if seed is None else seed)
+                idxs = rng.choice(chains * ndraws, n_samples, replace=n_samples > chains * ndraws)
+                rows = []
+                for i, idx in enumerate(idxs):
+                    p = {k: jnp.asarray(v[idx], dtype=self._dtype) for k, v in flat.items()}
+                    rows.append(np.asarray(_fitc_draws(p, jax.random.fold_in(key, i), 1))[0])
+                out = np.stack(rows)
+            out = out.reshape(n_samples, d_out, n_pts)
+            self.predictions = self.parray(
+                **{name: out[:, i] for i, name in enumerate(output)}, stdzd=True
+            )
+            self.predictions_X = points
+            self._store_sample_var(var_name, increment_var, self.predictions)
+            return self.predictions
+
         if source is None or source is self.MAP:
             if self._structure == "Independent":
                 blocks = []

@@ -319,20 +319,23 @@ class GPC(GP):
                 "Sublevel draws of the classifier's latent field are not "
                 "implemented (the Laplace cache factorizes the total kernel)."
             )
-        if self.sparse:
-            raise NotImplementedError(
-                "Joint latent draws are implemented for the dense classifier; "
-                "the sparse FITC path predicts marginals (predict_proba)."
-            )
-
         output = self._parse_prediction_output(output)
         points_array, _, _ = self._prepare_points_for_prediction(points, output=output)
         xc, xk = self._split_X(np.asarray(points_array))
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
-        f_draws = laplace_draw_latent(
-            self._spec, self._params, self._xc, self._xk, self._yz, xc, xk, key,
-            n_samples=n_samples, mask=self._mask,
-        )
+        if self.sparse:
+            from ..ops.fitc_laplace import fitc_laplace_draw_latent
+
+            f_draws = fitc_laplace_draw_latent(
+                self._spec, self._params, self._xc, self._xk,
+                self._xu_c, self._xu_k, self._yz, xc, xk, key,
+                n_samples=n_samples, mask=self._mask,
+            )
+        else:
+            f_draws = laplace_draw_latent(
+                self._spec, self._params, self._xc, self._xk, self._yz, xc, xk, key,
+                n_samples=n_samples, mask=self._mask,
+            )
         p_draws = expit(np.asarray(f_draws))
         name = output[0]
         if name not in self.stdzr.logit_vars:

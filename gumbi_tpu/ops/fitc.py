@@ -27,6 +27,8 @@ __all__ = [
     "fitc_mll",
     "fitc_neg_logp",
     "fitc_predict",
+    "fitc_predict_cov",
+    "fitc_draw_samples",
 ]
 
 
@@ -205,3 +207,72 @@ def fitc_predict(
     if with_noise:
         var = var + noise_diag(spec, params, xk_new, dtype=var.dtype)
     return mean, var
+
+
+def fitc_predict_cov(
+    spec: GPSpec,
+    params,
+    xc,
+    xk,
+    xu_c,
+    xu_k,
+    y,
+    xc_new,
+    xk_new,
+    with_noise=False,
+    jitter=DEFAULT_JITTER,
+    mask=None,
+):
+    """FITC posterior mean and FULL covariance at new points.
+
+    Same factorizations as :func:`fitc_predict`, with the full test-block
+    prior covariance in place of its diagonal:
+
+        cov = K(X*,X*) − wᵀw + wbᵀwb
+
+    (the Nyström correction −Q** plus the information gained through the
+    inducing set). Enables joint function draws from sparse fits — the
+    reference has no sparse sampling path at all (its sparse+latent
+    combination raises NotImplementedError, ref GP.py:587).
+    """
+    Luu, A, lam, LB, c = _fitc_common(
+        spec, params, xc, xk, xu_c, xu_k, y, jitter, mask=mask
+    )
+    Kus = gram(spec, params, xu_c, xu_k, xc_new, xk_new)  # (M, M*)
+    w = jsl.solve_triangular(Luu, Kus, lower=True)
+    wb = jsl.solve_triangular(LB, w, lower=True)
+    mean = wb.T @ c
+    Kss = gram(spec, params, xc_new, xk_new, xc_new, xk_new)
+    cov = Kss - w.T @ w + wb.T @ wb
+    if with_noise:
+        cov = cov + jnp.diag(noise_diag(spec, params, xk_new, dtype=cov.dtype))
+    return mean, cov
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("n_samples", "with_noise"))
+def fitc_draw_samples(
+    spec: GPSpec,
+    params,
+    xc,
+    xk,
+    xu_c,
+    xu_k,
+    y,
+    xc_new,
+    xk_new,
+    key,
+    n_samples=1,
+    with_noise=False,
+    jitter=DEFAULT_JITTER,
+    mask=None,
+):
+    """Joint FITC posterior draws at new points (sparse analogue of
+    ops.posterior.draw_samples)."""
+    mean, cov = fitc_predict_cov(
+        spec, params, xc, xk, xu_c, xu_k, y, xc_new, xk_new,
+        with_noise=with_noise, jitter=jitter, mask=mask,
+    )
+    cov = cov + jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    Lss = jnp.linalg.cholesky(cov)
+    eps = jax.random.normal(key, (n_samples, mean.shape[0]), dtype=mean.dtype)
+    return mean[None, :] + eps @ Lss.T

@@ -31,6 +31,7 @@ __all__ = [
     "fitc_laplace_mll",
     "fitc_laplace_neg_logp",
     "fitc_laplace_predict",
+    "fitc_laplace_draw_latent",
 ]
 
 
@@ -163,3 +164,37 @@ def fitc_laplace_predict(
 
     prob = jax.nn.sigmoid(mean / jnp.sqrt(1.0 + jnp.pi * var / 8.0))
     return mean, var, prob
+
+
+@partial(jax.jit, static_argnums=0, static_argnames=("n_iter", "n_samples"))
+def fitc_laplace_draw_latent(
+    spec: GPSpec, params, xc, xk, xu_c, xu_k, y, xc_new, xk_new, key,
+    n_samples=1, jitter=DEFAULT_JITTER, n_iter=30, mask=None,
+):
+    """Joint draws of the latent field from the FITC-Laplace posterior.
+
+    Same factorizations as :func:`fitc_laplace_predict`, with the full
+    test-block covariance  cov = K** − Φ* G Φ*ᵀ  in place of its diagonal
+    (G as there). Draws pushed through the link give sparse-classifier
+    probability samples — a path the reference lacks entirely (its
+    sparse+latent combination raises NotImplementedError, reference
+    gumbi/regression/pymc/GP.py:587).
+    """
+    m = jnp.ones_like(y) if mask is None else jnp.asarray(mask, dtype=y.dtype)
+    Phi, D, Luu = _whitened_features(spec, params, xc, xk, xu_c, xu_k, jitter)
+    f, a, (A, S, U, Lm) = fitc_laplace_mode(Phi, D, y, n_iter, mask=m)
+
+    Ksu = gram(spec, params, xc_new, xk_new, xu_c, xu_k)
+    Phi_s = jsl.solve_triangular(Luu, Ksu.T, lower=True).T
+
+    π = jax.nn.sigmoid(f)
+    mean = Phi_s @ (Phi.T @ (m * (y - π)))
+
+    P = U.T @ (U / A[:, None])
+    G = P - P @ jsl.cho_solve((Lm, True), P)
+    Kss = gram(spec, params, xc_new, xk_new, xc_new, xk_new)
+    cov = Kss - (Phi_s @ G) @ Phi_s.T
+    cov = cov + jnp.maximum(jitter, 1e-6) * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    Lss = jnp.linalg.cholesky(cov)
+    eps = jax.random.normal(key, (n_samples, mean.shape[0]), dtype=mean.dtype)
+    return mean[None, :] + eps @ Lss.T

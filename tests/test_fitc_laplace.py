@@ -143,6 +143,68 @@ def test_sparse_gpc_unsupported_paths_raise():
     )
     with pytest.raises(NotImplementedError):
         gpc.sample(latent=True, draws=2, tune=2, chains=1)
-    pts = parray(x=np.array([0.0]), stdzr=ds.stdzr)
+    # draw_point_samples IS supported for sparse fits (FITC-Laplace joint
+    # draws) — only sublevel draws of the latent field are not.
+    pts = parray(x=np.array([0.0, 0.5]), stdzr=ds.stdzr)
     with pytest.raises(NotImplementedError):
-        gpc.draw_point_samples(pts, n_samples=2)
+        gpc.draw_point_samples(pts, n_samples=2, additive_level="global")
+    d = gpc.draw_point_samples(pts, n_samples=3)
+    assert d.values().shape == (3, 2)
+
+
+def test_fitc_laplace_joint_draws():
+    """Joint latent draws from the sparse Laplace posterior: empirical draw
+    moments converge to fitc_laplace_predict's mean/var, and with inducing =
+    training points the draw law matches the dense Laplace draw law."""
+    from gumbi_tpu.ops.fitc_laplace import fitc_laplace_draw_latent
+    from gumbi_tpu.ops.laplace import laplace_draw_latent
+
+    spec, params = _spec(), _params()
+    xc, xk, y = _data()
+    xs = jnp.linspace(-2, 2, 9).reshape(-1, 1)
+    xks = jnp.zeros((9, 0), dtype=jnp.int32)
+
+    key = jax.random.PRNGKey(0)
+    draws = fitc_laplace_draw_latent(
+        spec, params, xc, xk, xc[::2], xk[::2], y, xs, xks, key, n_samples=6000
+    )
+    mu, var, _ = fitc_laplace_predict(spec, params, xc, xk, xc[::2], xk[::2], y, xs, xks)
+    emp_mu = np.asarray(draws).mean(axis=0)
+    emp_sd = np.asarray(draws).std(axis=0)
+    np.testing.assert_allclose(emp_mu, np.asarray(mu), atol=4.5 * float(jnp.sqrt(var.max() / 6000)) + 5e-3)
+    np.testing.assert_allclose(emp_sd, np.asarray(jnp.sqrt(var)), rtol=0.1, atol=5e-3)
+
+    # Inducing = training: FITC draws must share the dense-Laplace law; the
+    # same key gives (approximately) the same draws since mean/cov agree.
+    d_fitc = fitc_laplace_draw_latent(
+        spec, params, xc, xk, xc, xk, y, xs, xks, key, n_samples=4
+    )
+    from gumbi_tpu.ops.kernels import gram  # dense comparison path
+
+    d_dense = laplace_draw_latent(spec, params, xc, xk, y, xs, xks, key, n_samples=4)
+    np.testing.assert_allclose(np.asarray(d_fitc), np.asarray(d_dense), rtol=0.05, atol=0.08)
+
+
+def test_gpc_sparse_draw_point_samples():
+    """Model-level sparse classifier draws: probabilities in (0,1), averaging
+    to predict_proba's surface within MC error."""
+    rng = np.random.default_rng(4)
+    n = 90
+    x = np.sort(rng.uniform(-3, 3, n))
+    p = 1 / (1 + np.exp(-2.2 * x))
+    yb = (rng.uniform(size=n) < p).astype(float)
+    df = pd.DataFrame({"x": x, "hit": yb})
+    ds = DataSet(df, outputs=["hit"])
+    gpc = GPC(ds)
+    gpc.fit(outputs=["hit"], continuous_dims=["x"], sparse=True, n_u=15,
+            heteroskedastic_outputs=False,
+            MAP_kwargs=dict(n_restarts=2, maxiter=80))
+    gpc.prepare_grid(resolution=11)
+    draws = gpc.draw_grid_samples(n_samples=600, seed=0)
+    vals = draws.values()
+    assert vals.shape == (600, 11)
+    assert np.all(vals > 0) and np.all(vals < 1)
+    proba = gpc.predict_grid_proba()
+    # MC average of expit(f-draws) vs probit-approx integral: loose agreement
+    np.testing.assert_allclose(vals.mean(axis=0), np.asarray(proba, dtype=float), atol=0.06)
+    assert "posterior_samples" in gpc.sample_vars

@@ -588,6 +588,39 @@ def test_periodic_save_load_preserves_model_specs(tmp_path):
     gp2.prepare_grid(resolution=10)
 
 
+def test_sparse_joint_draws(cars_ds):
+    """draw_point_samples on a sparse fit samples the FITC posterior (the
+    reference has no sparse sampling path — sparse+latent raises, ref
+    GP.py:587). Oracle: empirical draw moments converge to fitc_predict's
+    mean/variance, and bucket padding must not change the draw law."""
+    gp = GP(cars_ds)
+    gp.fit(outputs=["mpg"], continuous_dims=["horsepower"],
+           sparse=True, n_u=20, MAP_kwargs=dict(n_restarts=2, maxiter=100))
+    gp.prepare_grid(resolution=9)
+    draws = gp.draw_grid_samples(n_samples=4000, seed=0)
+    emp_mu = draws.z.values().mean(axis=0)
+    emp_sd = draws.z.values().std(axis=0)
+
+    pts = gp.grid_points
+    points_array, _, _ = gp._prepare_points_for_prediction(pts, output=["mpg"])
+    mu, var = gp.predict(points_array, with_noise=False)
+    np.testing.assert_allclose(emp_mu, mu, atol=4.5 * np.sqrt(var.max() / 4000) + 1e-3)
+    np.testing.assert_allclose(emp_sd, np.sqrt(var), rtol=0.12, atol=1e-3)
+    assert "posterior_samples" in gp.sample_vars
+
+    # Padded sparse fit: same inducing set and hyperparameters → same draws
+    gp_b = GP(cars_ds)
+    gp_b.fit(outputs=["mpg"], continuous_dims=["horsepower"],
+             sparse=True, n_u=20, bucket=128,
+             MAP_kwargs=dict(n_restarts=2, maxiter=100))
+    gp_b.prepare_grid(resolution=9)
+    draws_b = gp_b.draw_grid_samples(n_samples=50, seed=3)
+    d0 = gp.draw_grid_samples(n_samples=50, seed=3)
+    np.testing.assert_allclose(
+        draws_b.z.values(), d0.z.values(), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_sparse_bucket_padding_exact(cars_ds):
     """Sparse FITC fits with bucket padding must reproduce the unpadded
     sparse fit exactly: select_inducing clusters only the real rows and the
