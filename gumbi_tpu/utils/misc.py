@@ -24,6 +24,8 @@ __all__ = [
     "assert_in",
     "assert_is_subset",
     "assert_one",
+    "list_is_are",
+    "list_and",
     "round_to_n",
     "prettyprint_dict",
     "batched",
@@ -138,6 +140,11 @@ def _is_are(lst: list) -> str:
         return None
     verb = "is" if len(lst) == 1 else "are"
     return f"{_list_and(lst)} {verb}"
+
+
+# Public spellings matching the reference surface (ref utils/misc.py:116-137).
+list_and = _list_and
+list_is_are = _is_are
 
 
 def s(n) -> str:

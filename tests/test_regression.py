@@ -257,6 +257,16 @@ def test_parity_import_paths():
     from gumbi_tpu.utils.gp_utils import get_ls_prior, parse_ls_limits
 
     assert GP2 is GP
+    # Backend-path spellings (ref gumbi/regression/{pymc,botorch}/__init__.py)
+    from gumbi_tpu.regression.botorch import GP as BGP, BotorchGP
+    from gumbi_tpu.regression.pymc import GP as PGP, GPC as PGPC, PymcGP, PymcGPC
+
+    assert BGP is GP and BotorchGP is GP and PGP is GP and PymcGP is GP
+    assert PGPC is GPC and PymcGPC is GPC
+    from gumbi_tpu.utils.misc import list_and, list_is_are
+
+    assert list_and(["a", "b", "c"]) == "a, b, and c"
+    assert list_is_are(["a"]) == "a is" and list_is_are(["a", "b"]) == "a and b are"
     X = np.linspace(0, 1, 12)[:, None]
     lo, hi = parse_ls_limits(X, ARD=True)
     assert len(lo) == 1 and 0.01 <= lo[0] < hi[0]
