@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..aggregation import DataSet
 from ..utils import assert_in
+from ..utils.jax_utils import default_model_dtype
 from ..ops import (
     CoregTerm,
     GPSpec,
@@ -59,7 +60,7 @@ class GP(Regressor):
     >>> gmb.ParrayPlotter(X, y).plot()
     """
 
-    def __init__(self, dataset: DataSet, outputs=None, seed=2021):
+    def __init__(self, dataset: DataSet, outputs=None, seed=2021, dtype=None):
         super().__init__(dataset, outputs, seed)
 
         self.model = None  # GPSpec once built
@@ -90,7 +91,12 @@ class GP(Regressor):
         self._noise_cache = None
         self._noise_mult = None
         self._noise_stats = None
-        self._dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        # Engine dtype: f32 on TPU (f64 is emulated there), f64 elsewhere
+        # under x64; override per model with dtype=... or globally with
+        # GUMBI_TPU_X64 (utils/jax_utils.default_model_dtype).
+        self._dtype = (
+            default_model_dtype() if dtype is None else jnp.dtype(dtype).type
+        )
 
         self.model_specs = {
             "seed": self.seed,

@@ -285,6 +285,25 @@ def test_jax_utils_roundtrip():
     assert np.isclose(float(sc_exponential_logp(jnp.asarray(2.0))), -2.0)
 
 
+def test_model_dtype_defaults(monkeypatch, cars_ds):
+    """Hardware-aware engine dtype: f64 on CPU under x64, f32 on a TPU
+    backend (f64 is emulated there, ~30x slower), dtype=/GUMBI_TPU_X64
+    overrides. A TPU user must get native-f32 fits by default."""
+    import jax.numpy as jnp
+
+    from gumbi_tpu.utils import jax_utils
+
+    monkeypatch.delenv("GUMBI_TPU_X64", raising=False)
+    assert GP(cars_ds)._dtype == jnp.float64  # CPU test env
+    assert GP(cars_ds, dtype=np.float32)._dtype == jnp.float32
+    monkeypatch.setattr(jax_utils.jax, "default_backend", lambda: "tpu")
+    assert jax_utils.default_model_dtype() == jnp.float32
+    assert GP(cars_ds)._dtype == jnp.float32
+    assert GP(cars_ds, dtype=np.float64)._dtype == jnp.float64
+    monkeypatch.setenv("GUMBI_TPU_X64", "1")  # explicit force wins
+    assert jax_utils.default_model_dtype() == jnp.float64
+
+
 def test_bucket_padding_exact(cars_ds):
     """Bucket-padded fits must reproduce the unpadded MLL and predictions
     exactly (masked identity rows contribute zero)."""
