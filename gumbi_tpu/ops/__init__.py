@@ -11,6 +11,13 @@ from .kernels import (  # noqa: F401
     noise_diag,
     output_correlation,
 )
+from .iterative import (  # noqa: F401
+    IterConfig,
+    draw_probes,
+    iter_gaussian_logp,
+    iter_map_neg_logp,
+    iter_predict_mean,
+)
 from .mll import DEFAULT_JITTER, cholesky_factor, map_neg_logp, mll  # noqa: F401
 from .optimize import fit_gp_map, lbfgs_minimize, multi_restart_minimize  # noqa: F401
 from .posterior import (  # noqa: F401

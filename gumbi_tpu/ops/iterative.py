@@ -1,0 +1,533 @@
+"""Iterative exact-GP marginal likelihood: batched PCG + stochastic Lanczos.
+
+The Cholesky MLL (`ops/mll.py`) is the right tool up to N ≈ 20k on one chip,
+but its throughput is capped by the factorization's serial panel recurrence
+(~13% of the MXU GEMM roofline, docs/perf.md §3) and its memory by the dense
+O(N²) factor. This module is the TPU-native alternative for large N: every
+FLOP is a batched GEMM (kernel-matrix matvecs on the MXU), memory is
+O(N·block) in matrix-free mode, and the whole Krylov loop lives in one XLA
+`while_loop` — dense EXACT GP inference at N = 50k fits on a single v5e chip.
+
+The algorithm is the modified batched conjugate-gradients (mBCG) approach of
+Gardner et al., "GPyTorch: Blackbox Matrix-Matrix Gaussian Process Inference
+with GPU Acceleration" (NeurIPS 2018) — the same engine GPyTorch runs under
+the reference's own BoTorch backend (reference gumbi/regression/botorch/GP.py
+delegates all solves to GPyTorch, which routes them through mBCG for large N).
+Reimplemented here from the published algorithm, TPU-first:
+
+  * one preconditioned CG on the blocked RHS [y | z₁ … z_R] yields the solve
+    α = A⁻¹y, the probe solves A⁻¹zᵢ, AND (from the CG step scalars) the
+    Lanczos tridiagonalizations used for the log-determinant quadrature;
+  * logdet A ≈ logdet P + mean_i[(zᵢᵀP⁻¹zᵢ) · e₁ᵀ log(Tᵢ) e₁] with
+    zᵢ ~ N(0, P) (stochastic Lanczos quadrature under a preconditioner);
+  * the preconditioner P = LLᵀ + D is a rank-k pivoted Cholesky of the
+    kernel matrix plus the exact noise diagonal, applied by Woodbury;
+  * gradients NEVER differentiate the Krylov loop: given the converged
+    solves, d mll = ½ αᵀ(dA)α − 1/(2R) Σᵢ sᵢᵀ(dA)wᵢ with sᵢ = A⁻¹zᵢ and
+    wᵢ = P⁻¹zᵢ (E[zzᵀ] = P makes the Hutchinson trace estimator exact in
+    expectation), packaged as a `jax.custom_vjp` whose backward pass is one
+    differentiation of the Gram *assembly* — the same "never differentiate
+    the factorization" discipline as `ops/linalg.py`.
+
+Bucket padding reuses the engine-wide masking convention (`ops/mll.py`):
+masked rows become identity rows of A, contributing zero to the quadratic
+form and log-determinant, so padding to a static shape is exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kernels import GPSpec, gram, gram_diag, noise_diag
+from .mll import DEFAULT_JITTER
+from .priors import constrain, log_prior
+
+__all__ = [
+    "IterConfig",
+    "draw_probes",
+    "pivoted_cholesky",
+    "pcg",
+    "iter_gaussian_logp",
+    "iter_map_neg_logp",
+    "iter_predict_mean",
+]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True)
+class IterConfig:
+    """Static configuration for the iterative MLL (hashable; jit-cache key).
+
+    maxiter        CG iteration cap (the while_loop exits early on tol).
+    tol            relative residual stop: ‖r‖ ≤ tol·‖b‖ per column.
+    n_probes       Hutchinson/SLQ probe vectors R.
+    precond_rank   pivoted-Cholesky rank k of the preconditioner (0 = off).
+    block          0 → materialize the dense (N, N) matrix once per
+                   objective evaluation (fastest for N ≲ 20k);
+                   B > 0 → matrix-free row-block matvecs: Gram tiles of
+                   shape (B, N) are built on the fly and immediately
+                   consumed by the (B, N) @ (N, R) GEMM, so peak memory is
+                   O(N·B) and N = 50k dense fits on one chip.
+    quad_steps     Lanczos steps kept for the logdet quadrature (t ≤ maxiter;
+                   the t×t tridiagonal eigenproblems are negligible).
+    jitter         diagonal stabilization added to the noise (PyMC-matched).
+    """
+
+    maxiter: int = 256
+    tol: float = 1e-2
+    n_probes: int = 8
+    precond_rank: int = 32
+    block: int = 0
+    quad_steps: int = 32
+    jitter: float = DEFAULT_JITTER
+
+
+def draw_probes(seed: int, n: int, cfg: IterConfig, dtype=jnp.float32):
+    """Host-side deterministic probe draws (fixed per fit → deterministic MLL).
+
+    Returns ``(probe_n, probe_k)``: standard normals of shape (n, R) and
+    (rank, R). With ``precond_rank == 0`` the (n, R) block is Rademacher
+    (±1, the minimum-variance Hutchinson choice); with a preconditioner the
+    probes must be z ~ N(0, P) = L a + √D b, so both blocks are Gaussian.
+    """
+    rng = np.random.default_rng(seed)
+    r = cfg.n_probes
+    if cfg.precond_rank > 0:
+        pn = rng.standard_normal((n, r))
+        pk = rng.standard_normal((cfg.precond_rank, r))
+    else:
+        pn = rng.choice(np.asarray([-1.0, 1.0]), size=(n, r))
+        pk = np.zeros((0, r))
+    return jnp.asarray(pn, dtype=dtype), jnp.asarray(pk, dtype=dtype)
+
+
+# ------------------------------------------------------------------
+# Matvec builders
+# ------------------------------------------------------------------
+
+
+def _masked_gram(spec, params, xc, xk, mask):
+    K = gram(spec, params, xc, xk, xc, xk)
+    if mask is not None:
+        K = K * (mask[:, None] * mask[None, :])
+    return K
+
+
+def _noise_vec(spec, params, xk, jitter, mask, noise_mult, dtype):
+    """Full diagonal d with masked rows pinned to 1 (identity rows of A)."""
+    d = noise_diag(spec, params, xk, dtype=dtype)
+    if noise_mult is not None:
+        d = d * noise_mult
+    d = d + jitter
+    if mask is not None:
+        d = mask * d + (1.0 - mask)
+    return d
+
+
+def _make_matvec(spec, cfg, params, xc, xk, d, mask):
+    """A·V for A = K_masked + diag(d), dense or matrix-free row blocks."""
+    n = xc.shape[0]
+    if cfg.block <= 0:
+        Kn = _masked_gram(spec, params, xc, xk, mask)
+
+        def matvec(V):
+            return jnp.dot(Kn, V, precision=_HI) + d[:, None] * V
+
+        return matvec
+
+    b = cfg.block
+    if n % b != 0:
+        raise ValueError(
+            f"blocked matvec needs N ({n}) divisible by block ({b}); "
+            "bucket-pad the data (mask handles the padding exactly)"
+        )
+    nb = n // b
+
+    def matvec(V):
+        def body(i, out):
+            xcb = jax.lax.dynamic_slice_in_dim(xc, i * b, b)
+            xkb = jax.lax.dynamic_slice_in_dim(xk, i * b, b)
+            Kb = gram(spec, params, xcb, xkb, xc, xk)
+            if mask is not None:
+                mb = jax.lax.dynamic_slice_in_dim(mask, i * b, b)
+                Kb = Kb * (mb[:, None] * mask[None, :])
+            yb = jnp.dot(Kb, V, precision=_HI)
+            return jax.lax.dynamic_update_slice_in_dim(out, yb, i * b, axis=0)
+
+        out = jax.lax.fori_loop(0, nb, body, jnp.zeros_like(V))
+        return out + d[:, None] * V
+
+    return matvec
+
+
+# ------------------------------------------------------------------
+# Preconditioner: rank-k pivoted Cholesky of the kernel + exact noise diag
+# ------------------------------------------------------------------
+
+
+def pivoted_cholesky(row_fn, diag, rank):
+    """Rank-``rank`` pivoted (greedy) Cholesky of an SPD matrix.
+
+    ``row_fn(i)`` returns row i of the matrix (matrix-free: one (1, N) Gram
+    strip); ``diag`` is its exact diagonal. Returns L of shape (N, rank) with
+    L Lᵀ the best-pivot rank-k approximation. O(rank·N·d) work — negligible
+    against the CG loop it accelerates.
+    """
+    n = diag.shape[0]
+    L0 = jnp.zeros((n, rank), dtype=diag.dtype)
+
+    def body(k, state):
+        dres, L = state
+        i = jnp.argmax(dres)
+        pii = jnp.sqrt(jnp.maximum(dres[i], 1e-30))
+        row = row_fn(i)  # (n,)
+        # subtract the already-factored part: (L @ L[i])
+        li = (row - jnp.dot(L, L[i], precision=_HI)) / pii
+        li = li.at[i].set(pii)
+        # zero the update once the residual diagonal is exhausted (rank >
+        # numerical rank): pii ~ 0 would inject noise
+        li = jnp.where(dres[i] > 1e-12, li, jnp.zeros_like(li))
+        dres = jnp.maximum(dres - li * li, 0.0).at[i].set(0.0)
+        return dres, L.at[:, k].set(li)
+
+    _, L = jax.lax.fori_loop(0, rank, body, (diag, L0))
+    return L
+
+
+def _make_precond(L, d):
+    """Woodbury apply + logdet for P = L Lᵀ + diag(d).
+
+    P⁻¹v = D⁻¹v − D⁻¹L (I + LᵀD⁻¹L)⁻¹ LᵀD⁻¹v
+    log|P| = Σ log d + 2 Σ log diag chol(I + LᵀD⁻¹L)
+    """
+    k = L.shape[1]
+    dinv = 1.0 / d
+    DL = L * dinv[:, None]  # D⁻¹L (n, k)
+    M = jnp.eye(k, dtype=L.dtype) + jnp.dot(L.T, DL, precision=_HI)
+    C = jnp.linalg.cholesky(M)
+    logdet_p = jnp.sum(jnp.log(d)) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(C)))
+
+    def psolve(V):
+        t = jnp.dot(DL.T, V, precision=_HI)  # (k, R)
+        t = jax.scipy.linalg.cho_solve((C, True), t)
+        return dinv[:, None] * V - jnp.dot(DL, t, precision=_HI)
+
+    return psolve, logdet_p
+
+
+# ------------------------------------------------------------------
+# Batched preconditioned CG with Lanczos-coefficient tracking (mBCG)
+# ------------------------------------------------------------------
+
+
+def pcg(matvec, psolve, B, maxiter, tol, track=0):
+    """Solve A X = B for SPD A, all RHS columns simultaneously.
+
+    Returns (X, alphas, betas, valid, iters): the CG step scalars α_j, β_j
+    and a validity mask for the first ``track`` iterations of each column
+    (the Lanczos tridiagonal of P⁻¹A in the P-inner product is recovered
+    from them; Saad, Iterative Methods, §6.7), plus the iteration count.
+
+    Fixed-shape state in one `lax.while_loop`: converged columns freeze
+    (their α is forced to 0 and excluded from `valid`), the loop exits when
+    every column is converged or at ``maxiter``.
+    """
+    r_cols = B.shape[1]
+    track = int(track) if track else 0
+    bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
+    stop = tol * jnp.maximum(bnorm, 1e-30)
+
+    X0 = jnp.zeros_like(B)
+    R0 = B
+    Z0 = psolve(R0)
+    P0 = Z0
+    rz0 = jnp.sum(R0 * Z0, axis=0)
+    al0 = jnp.zeros((max(track, 1), r_cols), dtype=B.dtype)
+    be0 = jnp.zeros((max(track, 1), r_cols), dtype=B.dtype)
+    va0 = jnp.zeros((max(track, 1), r_cols), dtype=bool)
+
+    def cond(state):
+        i, _, R, *_ = state
+        rn = jnp.sqrt(jnp.sum(R * R, axis=0))
+        return jnp.logical_and(i < maxiter, jnp.any(rn > stop))
+
+    def body(state):
+        i, X, R, P, Z, rz, al, be, va = state
+        live = jnp.sqrt(jnp.sum(R * R, axis=0)) > stop  # per column
+        Ap = matvec(P)
+        pAp = jnp.sum(P * Ap, axis=0)
+        safe = jnp.logical_and(live, pAp > 0.0)
+        alpha = jnp.where(safe, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * Ap
+        Z = psolve(R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(safe, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
+        P = Z + beta[None, :] * P
+        if track:
+            j = jnp.minimum(i, track - 1)
+            al = jax.lax.cond(
+                i < track, lambda a: a.at[j].set(alpha), lambda a: a, al
+            )
+            be = jax.lax.cond(
+                i < track, lambda b_: b_.at[j].set(beta), lambda b_: b_, be
+            )
+            va = jax.lax.cond(
+                i < track, lambda v: v.at[j].set(safe), lambda v: v, va
+            )
+        return i + 1, X, R, P, Z, rz_new, al, be, va
+
+    state = (0, X0, R0, P0, Z0, rz0, al0, be0, va0)
+    i, X, R, P, Z, rz, al, be, va = jax.lax.while_loop(cond, body, state)
+    return X, al, be, va, i
+
+
+def _tridiag_from_cg(alphas, betas, valid):
+    """(t, R) CG scalars → (R, t, t) symmetric Lanczos tridiagonals.
+
+    T_jj = 1/α_j + β_{j-1}/α_{j-1},  T_{j,j+1} = √β_j / α_j. Iterations a
+    column never ran (converged early / α guarded to 0) pad the tridiagonal
+    with an identity block: block-diagonal padding is invisible to the
+    e₁-quadrature (e₁ has no component in the padding block) and keeps
+    eigenvalues at 1 → log λ = 0.
+    """
+    t, r = alphas.shape
+    a = jnp.where(valid, alphas, 1.0)
+    b = jnp.where(valid, betas, 0.0)
+    inv_a = 1.0 / a  # (t, R)
+    prev = jnp.concatenate([jnp.zeros((1, r), a.dtype), (b * inv_a)[:-1]], axis=0)
+    diag = jnp.where(valid, inv_a + prev, 1.0).T  # (R, t)
+    off = jnp.where(valid, jnp.sqrt(jnp.maximum(b, 0.0)) * inv_a, 0.0).T  # (R, t)
+    # off-diagonal j couples steps j and j+1: only valid when step j+1 valid
+    nxt = jnp.concatenate([valid[1:], jnp.zeros((1, r), bool)], axis=0).T
+    off = jnp.where(nxt, off, 0.0)[:, :-1]  # (R, t-1)
+    T = jnp.zeros((r, t, t), a.dtype)
+    ii = jnp.arange(t)
+    T = T.at[:, ii, ii].set(diag)
+    jj = jnp.arange(t - 1)
+    T = T.at[:, jj, jj + 1].set(off)
+    T = T.at[:, jj + 1, jj].set(off)
+    return T
+
+
+def _slq_logdet(alphas, betas, valid, znorm2):
+    """Σ-free SLQ: mean_i (zᵢᵀP⁻¹zᵢ) · e₁ᵀ log(Tᵢ) e₁ (Gauss quadrature)."""
+    T = _tridiag_from_cg(alphas, betas, valid)
+    lam, Q = jnp.linalg.eigh(T)  # (R, t), (R, t, t)
+    w = Q[:, 0, :] ** 2  # first-row components
+    loglam = jnp.log(jnp.maximum(lam, 1e-30))
+    quad = jnp.sum(w * loglam, axis=-1)  # (R,)
+    return jnp.mean(znorm2 * quad)
+
+
+# ------------------------------------------------------------------
+# The Gaussian log-density with the surrogate custom VJP
+# ------------------------------------------------------------------
+
+
+def _iter_forward(spec, cfg, params, xc, xk, y, probe_n, probe_k, mask, noise_mult):
+    n = xc.shape[0]
+    d = _noise_vec(spec, params, xk, cfg.jitter, mask, noise_mult, y.dtype)
+    matvec = _make_matvec(spec, cfg, params, xc, xk, d, mask)
+
+    if cfg.precond_rank > 0:
+        kdiag = gram_diag(spec, params, xc, xk)
+        if mask is not None:
+            kdiag = kdiag * mask
+
+        def row_fn(i):
+            xci = jax.lax.dynamic_slice_in_dim(xc, i, 1)
+            xki = jax.lax.dynamic_slice_in_dim(xk, i, 1)
+            row = gram(spec, params, xci, xki, xc, xk)[0]
+            if mask is not None:
+                row = row * mask[i] * mask
+            return row
+
+        L = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank)
+        psolve, logdet_p = _make_precond(L, d)
+        # probes z ~ N(0, P): z = L a + √d b
+        Z = jnp.dot(L, probe_k, precision=_HI) + jnp.sqrt(d)[:, None] * probe_n
+    else:
+        psolve = lambda V: V  # noqa: E731
+        logdet_p = jnp.zeros((), y.dtype)
+        Z = probe_n
+
+    ym = y * mask if mask is not None else y
+    B = jnp.concatenate([ym[:, None], Z], axis=1)
+    X, al, be, va, iters = pcg(
+        matvec, psolve, B, cfg.maxiter, cfg.tol, track=cfg.quad_steps
+    )
+    alpha, S = X[:, 0], X[:, 1:]
+    quad = jnp.sum(ym * alpha)
+    W = psolve(Z)
+    znorm2 = jnp.sum(Z * W, axis=0)  # zᵀP⁻¹z per probe
+    logdet = logdet_p + _slq_logdet(al[:, 1:], be[:, 1:], va[:, 1:], znorm2)
+    n_eff = jnp.sum(mask) if mask is not None else jnp.asarray(n, y.dtype)
+    logp = -0.5 * (quad + logdet + n_eff * jnp.log(2.0 * jnp.pi))
+    return logp, (alpha, S, W, iters)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def iter_gaussian_logp(spec, cfg, params, xc, xk, y, probe_n, probe_k, mask, noise_mult):
+    """log N(y | 0, K + D) by preconditioned mBCG + SLQ (see module docstring).
+
+    Deterministic given the probe arrays (draw once per fit with
+    :func:`draw_probes`). Gradients w.r.t. ``params`` and ``y`` are the
+    Hutchinson-exact surrogate — the Krylov loop is never differentiated.
+    """
+    logp, _ = _iter_forward(
+        spec, cfg, params, xc, xk, y, probe_n, probe_k, mask, noise_mult
+    )
+    return logp
+
+
+def _iter_fwd(spec, cfg, params, xc, xk, y, probe_n, probe_k, mask, noise_mult):
+    logp, (alpha, S, W, _) = _iter_forward(
+        spec, cfg, params, xc, xk, y, probe_n, probe_k, mask, noise_mult
+    )
+    return logp, (params, xc, xk, alpha, S, W, mask, noise_mult)
+
+
+def _bilinear_sum(spec, cfg, params, xc, xk, U, V, wts, mask, noise_mult, dtype):
+    """Σ_j wts_j · u_jᵀ A(params) v_j — the only θ-differentiated computation.
+
+    Dense mode assembles A once; blocked mode streams Gram tiles under a
+    rematerialized scan so the backward pass stays O(N·block) memory.
+    """
+    d = _noise_vec(spec, params, xk, cfg.jitter, mask, noise_mult, dtype)
+    diag_term = jnp.sum(d * jnp.sum(U * (V * wts[None, :]), axis=1))
+    if cfg.block <= 0:
+        Kn = _masked_gram(spec, params, xc, xk, mask)
+        return jnp.sum(U * jnp.dot(Kn, V * wts[None, :], precision=_HI)) + diag_term
+
+    b = cfg.block
+    nb = xc.shape[0] // b
+    Vw = V * wts[None, :]
+
+    @jax.checkpoint
+    def body(acc, i):
+        xcb = jax.lax.dynamic_slice_in_dim(xc, i * b, b)
+        xkb = jax.lax.dynamic_slice_in_dim(xk, i * b, b)
+        Kb = gram(spec, params, xcb, xkb, xc, xk)
+        if mask is not None:
+            mb = jax.lax.dynamic_slice_in_dim(mask, i * b, b)
+            Kb = Kb * (mb[:, None] * mask[None, :])
+        Ub = jax.lax.dynamic_slice_in_dim(U, i * b, b)
+        return acc + jnp.sum(Ub * jnp.dot(Kb, Vw, precision=_HI)), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((), dtype), jnp.arange(nb))
+    return acc + diag_term
+
+
+def _iter_bwd(spec, cfg, res, g):
+    params, xc, xk, alpha, S, W, mask, noise_mult = res
+    r = S.shape[1]
+    # d mll = ½ αᵀ(dA)α − 1/(2R) Σᵢ sᵢᵀ(dA)wᵢ
+    U = jnp.concatenate([alpha[:, None], S], axis=1)
+    V = jnp.concatenate([alpha[:, None], W], axis=1)
+    wts = jnp.concatenate(
+        [jnp.full((1,), 0.5, alpha.dtype), jnp.full((r,), -0.5 / r, alpha.dtype)]
+    )
+
+    def surrogate(p):
+        return _bilinear_sum(spec, cfg, p, xc, xk, U, V, wts, mask, noise_mult, alpha.dtype)
+
+    p_bar = jax.tree_util.tree_map(lambda t: g * t, jax.grad(surrogate)(params))
+    y_bar = -g * alpha  # d mll / dy = −A⁻¹y (zero on masked rows already)
+    return (
+        p_bar,
+        jnp.zeros_like(xc),
+        jnp.zeros_like(xk),
+        y_bar,
+        jnp.zeros((xc.shape[0], r), alpha.dtype),
+        jnp.zeros((cfg.precond_rank if cfg.precond_rank > 0 else 0, r), alpha.dtype),
+        None if mask is None else jnp.zeros_like(mask),
+        None if noise_mult is None else jnp.zeros_like(noise_mult),
+    )
+
+
+iter_gaussian_logp.defvjp(_iter_fwd, _iter_bwd)
+
+
+def iter_map_neg_logp(
+    spec, uparams, xc, xk, y, ls_alpha, ls_beta, probe_n, probe_k,
+    cfg: IterConfig, mask=None, noise_mult=None,
+):
+    """−[log p(y|θ) + log p(θ)] with the iterative likelihood (MAP objective).
+
+    Drop-in analogue of :func:`ops.mll.map_neg_logp` for the large-N regime;
+    same priors, same NaN→+inf guard for line searches.
+    """
+    params = constrain(uparams)
+    data_logp = iter_gaussian_logp(
+        spec, cfg, params, xc, xk, y, probe_n, probe_k, mask, noise_mult
+    )
+    total = data_logp + log_prior(spec, uparams, ls_alpha, ls_beta)
+    return jnp.where(jnp.isfinite(total), -total, jnp.inf)
+
+
+def iter_predict_mean(
+    spec, cfg, params, xc, xk, y, xc_star, xk_star, mask=None, noise_mult=None,
+    star_block=4096,
+):
+    """Posterior mean at test points: K(*,X) A⁻¹y with one PCG solve.
+
+    The N-dim solve is the same PCG as the training objective; the cross-Gram
+    is streamed in test-point blocks so memory stays O(max(N, M)·block).
+    (Posterior variances at this scale need a Lanczos variance estimator —
+    LOVE — which is out of scope; use the Cholesky/FITC paths for variance.)
+    """
+    d = _noise_vec(spec, params, xk, cfg.jitter, mask, noise_mult, y.dtype)
+    matvec = _make_matvec(spec, cfg, params, xc, xk, d, mask)
+    if cfg.precond_rank > 0:
+        kdiag = gram_diag(spec, params, xc, xk)
+        if mask is not None:
+            kdiag = kdiag * mask
+
+        def row_fn(i):
+            xci = jax.lax.dynamic_slice_in_dim(xc, i, 1)
+            xki = jax.lax.dynamic_slice_in_dim(xk, i, 1)
+            row = gram(spec, params, xci, xki, xc, xk)[0]
+            if mask is not None:
+                row = row * mask[i] * mask
+            return row
+
+        L = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank)
+        psolve, _ = _make_precond(L, d)
+    else:
+        psolve = lambda V: V  # noqa: E731
+    ym = y * mask if mask is not None else y
+    X, *_ = pcg(matvec, psolve, ym[:, None], cfg.maxiter, cfg.tol)
+    alpha = X[:, 0]
+    if mask is not None:
+        alpha = alpha * mask
+
+    m = xc_star.shape[0]
+    if m <= star_block:
+        Ks = gram(spec, params, xc_star, xk_star, xc, xk)
+        if mask is not None:
+            Ks = Ks * mask[None, :]
+        return jnp.dot(Ks, alpha, precision=_HI)
+
+    pad = (-m) % star_block
+    xcp = jnp.concatenate([xc_star, jnp.zeros((pad,) + xc_star.shape[1:], xc_star.dtype)])
+    xkp = jnp.concatenate([xk_star, jnp.zeros((pad,) + xk_star.shape[1:], xk_star.dtype)])
+    nb = (m + pad) // star_block
+
+    def body(i, out):
+        xcb = jax.lax.dynamic_slice_in_dim(xcp, i * star_block, star_block)
+        xkb = jax.lax.dynamic_slice_in_dim(xkp, i * star_block, star_block)
+        Kb = gram(spec, params, xcb, xkb, xc, xk)
+        if mask is not None:
+            Kb = Kb * mask[None, :]
+        mb = jnp.dot(Kb, alpha, precision=_HI)
+        return jax.lax.dynamic_update_slice_in_dim(out, mb, i * star_block, axis=0)
+
+    out = jax.lax.fori_loop(0, nb, body, jnp.zeros((m + pad,), y.dtype))
+    return out[:m]

@@ -1,0 +1,228 @@
+"""Oracle tests for the iterative (mBCG + SLQ) exact-GP engine.
+
+The key trick throughout: with the canonical probe basis z_i = √N e_i
+(R = N probes) and a full-dimension Krylov space (maxiter = quad_steps = N,
+tight tolerance), both the Hutchinson trace estimator and the Lanczos
+quadrature are EXACT, so the iterative log-density and its custom-VJP
+gradient must match the Cholesky engine to numerical precision — not just
+statistically. Statistical accuracy of the practical configuration
+(few Rademacher/Gaussian probes, truncated quadrature, preconditioner) is
+then pinned separately with loose tolerances.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gumbi_tpu.ops import GPSpec, GPTerm
+from gumbi_tpu.ops.iterative import (
+    IterConfig,
+    _make_precond,
+    draw_probes,
+    iter_gaussian_logp,
+    iter_map_neg_logp,
+    iter_predict_mean,
+    pcg,
+    pivoted_cholesky,
+)
+from gumbi_tpu.ops.kernels import gram, noise_diag
+from gumbi_tpu.ops.mll import DEFAULT_JITTER, map_neg_logp, mll
+
+
+def _problem(n=60, d=2, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    spec = GPSpec(terms=(GPTerm(suffix="total", kernel="ExpQuad"),), d_cont=d)
+    xc = jnp.asarray(rng.uniform(-2, 2, size=(n, d)), dtype=dtype)
+    xk = jnp.zeros((n, 0), dtype=jnp.int32)
+    y = jnp.asarray(
+        np.sin(1.3 * np.asarray(xc[:, 0])) + 0.1 * rng.normal(size=n), dtype=dtype
+    )
+    params = {
+        "ls_total": jnp.asarray([0.9, 1.2], dtype=dtype)[:d],
+        "η_total": jnp.asarray(1.1, dtype=dtype),
+        "σ": jnp.asarray(0.3, dtype=dtype),
+    }
+    uparams = {k: jnp.log(v) for k, v in params.items()}
+    return spec, params, uparams, xc, xk, y
+
+
+def _dense_A(spec, params, xc, xk, dtype):
+    K = np.asarray(gram(spec, params, xc, xk, xc, xk))
+    d = np.asarray(noise_diag(spec, params, xk, dtype=dtype)) + DEFAULT_JITTER
+    return K + np.diag(d)
+
+
+def _exact_probes(n, dtype):
+    """z_i = √n e_i for i=1..n: Hutchinson and SLQ become exact."""
+    return jnp.asarray(np.sqrt(n) * np.eye(n), dtype=dtype)
+
+
+def test_pcg_matches_direct_solve():
+    spec, params, _, xc, xk, y = _problem(n=120)
+    A = _dense_A(spec, params, xc, xk, jnp.float64)
+    B = jnp.asarray(np.random.default_rng(1).standard_normal((120, 3)))
+    X, *_ , iters = pcg(lambda V: jnp.asarray(A) @ V, lambda V: V, B, 400, 1e-12)
+    ref = np.linalg.solve(A, np.asarray(B))
+    assert np.allclose(np.asarray(X), ref, rtol=1e-7, atol=1e-9)
+    assert int(iters) < 400  # converged, not capped
+
+
+def test_pivoted_cholesky_full_rank_reconstructs():
+    spec, params, _, xc, xk, _ = _problem(n=40)
+    K = np.asarray(gram(spec, params, xc, xk, xc, xk))
+    Kj = jnp.asarray(K)
+    L = pivoted_cholesky(lambda i: Kj[i], jnp.diag(Kj), 40)
+    assert np.allclose(np.asarray(L @ L.T), K, atol=1e-8)
+
+
+def test_preconditioner_woodbury_matches_direct():
+    spec, params, _, xc, xk, _ = _problem(n=50)
+    K = np.asarray(gram(spec, params, xc, xk, xc, xk))
+    d = np.asarray(noise_diag(spec, params, xk, dtype=jnp.float64)) + DEFAULT_JITTER
+    Kj = jnp.asarray(K)
+    L = pivoted_cholesky(lambda i: Kj[i], jnp.diag(Kj), 15)
+    psolve, logdet_p = _make_precond(L, jnp.asarray(d))
+    P = np.asarray(L @ L.T) + np.diag(d)
+    V = np.random.default_rng(2).standard_normal((50, 4))
+    assert np.allclose(np.asarray(psolve(jnp.asarray(V))), np.linalg.solve(P, V), atol=1e-9)
+    assert np.isclose(float(logdet_p), np.linalg.slogdet(P)[1], rtol=1e-10)
+    # and PCG under the preconditioner still solves the ORIGINAL system
+    A = K + 0 * np.eye(50)
+    A = _dense_A(spec, params, xc, xk, jnp.float64)
+    B = jnp.asarray(np.random.default_rng(3).standard_normal((50, 2)))
+    X, *_ = pcg(lambda W: jnp.asarray(A) @ W, psolve, B, 200, 1e-12)
+    assert np.allclose(np.asarray(X), np.linalg.solve(A, np.asarray(B)), rtol=1e-7, atol=1e-9)
+
+
+def test_iter_logp_exact_with_full_probe_basis():
+    """Canonical probes + full Krylov ⇒ iterative logp ≡ Cholesky logp."""
+    n = 60
+    spec, params, _, xc, xk, y = _problem(n=n)
+    cfg = IterConfig(maxiter=n + 5, tol=1e-13, n_probes=n, precond_rank=0,
+                     quad_steps=n, block=0)
+    Z = _exact_probes(n, jnp.float64)
+    lp = float(iter_gaussian_logp(spec, cfg, params, xc, xk, y, Z,
+                                  jnp.zeros((0, n)), None, None))
+    ref = float(mll(spec, params, xc, xk, y))
+    assert np.isclose(lp, ref, rtol=1e-8)
+
+
+def test_iter_gradient_exact_with_full_probe_basis():
+    """Same exact regime ⇒ the surrogate VJP ≡ analytic MLL gradients."""
+    n = 40
+    spec, _, uparams, xc, xk, y = _problem(n=n)
+    cfg = IterConfig(maxiter=n + 5, tol=1e-13, n_probes=n, precond_rank=0,
+                     quad_steps=n, block=0)
+    Z = _exact_probes(n, jnp.float64)
+    la = jnp.asarray([2.0, 2.0])
+    lb = jnp.asarray([1.0, 1.0])
+
+    f_iter = lambda u: iter_map_neg_logp(spec, u, xc, xk, y, la, lb, Z,
+                                         jnp.zeros((0, n)), cfg)
+    f_chol = lambda u: map_neg_logp(spec, u, xc, xk, y, la, lb)
+    assert np.isclose(float(f_iter(uparams)), float(f_chol(uparams)), rtol=1e-8)
+    g_iter = jax.grad(f_iter)(uparams)
+    g_chol = jax.grad(f_chol)(uparams)
+    for k in uparams:
+        assert np.allclose(np.asarray(g_iter[k]), np.asarray(g_chol[k]),
+                           rtol=1e-6, atol=1e-8), k
+
+
+def test_iter_logp_statistical_practical_config():
+    """Realistic config (16 Gaussian probes, rank-16 preconditioner, truncated
+    quadrature): logp within ~1% of exact — the fit-quality regime."""
+    n = 300
+    spec, params, _, xc, xk, y = _problem(n=n, seed=5)
+    cfg = IterConfig(maxiter=150, tol=1e-10, n_probes=16, precond_rank=16,
+                     quad_steps=40, block=0)
+    pn, pk = draw_probes(0, n, cfg, dtype=jnp.float64)
+    lp = float(iter_gaussian_logp(spec, cfg, params, xc, xk, y, pn, pk, None, None))
+    ref = float(mll(spec, params, xc, xk, y))
+    assert np.isclose(lp, ref, rtol=0.01), (lp, ref)
+
+
+def test_blocked_matvec_matches_dense():
+    n = 64
+    spec, _, uparams, xc, xk, y = _problem(n=n)
+    la = jnp.asarray([2.0, 2.0])
+    lb = jnp.asarray([1.0, 1.0])
+    Z = _exact_probes(n, jnp.float64)
+    cfg_d = IterConfig(maxiter=n + 5, tol=1e-13, n_probes=n, precond_rank=0,
+                       quad_steps=n, block=0)
+    cfg_b = IterConfig(maxiter=n + 5, tol=1e-13, n_probes=n, precond_rank=0,
+                       quad_steps=n, block=16)
+    fd = lambda u: iter_map_neg_logp(spec, u, xc, xk, y, la, lb, Z,
+                                     jnp.zeros((0, n)), cfg_d)
+    fb = lambda u: iter_map_neg_logp(spec, u, xc, xk, y, la, lb, Z,
+                                     jnp.zeros((0, n)), cfg_b)
+    assert np.isclose(float(fd(uparams)), float(fb(uparams)), rtol=1e-10)
+    gd, gb = jax.grad(fd)(uparams), jax.grad(fb)(uparams)
+    for k in uparams:
+        assert np.allclose(np.asarray(gd[k]), np.asarray(gb[k]), rtol=1e-8), k
+
+
+def test_masked_padding_is_exact():
+    """Bucket-padding via mask: padded iterative logp ≡ unpadded."""
+    n, npad = 48, 64
+    spec, params, _, xc, xk, y = _problem(n=n)
+    cfg = IterConfig(maxiter=npad + 5, tol=1e-13, n_probes=n, precond_rank=0,
+                     quad_steps=npad, block=0)
+    Z = _exact_probes(n, jnp.float64)
+    lp_ref = float(iter_gaussian_logp(spec, cfg, params, xc, xk, y, Z,
+                                      jnp.zeros((0, n)), None, None))
+
+    pad = npad - n
+    xcp = jnp.concatenate([xc, jnp.full((pad, 2), 7.7)])  # junk coords
+    xkp = jnp.concatenate([xk, jnp.zeros((pad, 0), jnp.int32)])
+    yp = jnp.concatenate([y, jnp.full((pad,), 3.3)])  # junk targets
+    Zp = jnp.concatenate([Z, jnp.zeros((pad, n))])  # probes vanish on padding
+    mask = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)])
+    lp_pad = float(iter_gaussian_logp(spec, cfg, params, xcp, xkp, yp, Zp,
+                                      jnp.zeros((0, n)), mask, None))
+    assert np.isclose(lp_pad, lp_ref, rtol=1e-9)
+
+
+def test_iter_predict_mean_matches_cholesky():
+    n, m = 80, 33
+    spec, params, _, xc, xk, y = _problem(n=n)
+    cfg = IterConfig(maxiter=200, tol=1e-12, n_probes=1, precond_rank=8, block=0)
+    rng = np.random.default_rng(7)
+    xs = jnp.asarray(rng.uniform(-2, 2, size=(m, 2)))
+    xks = jnp.zeros((m, 0), dtype=jnp.int32)
+    mean = np.asarray(iter_predict_mean(spec, cfg, params, xc, xk, y, xs, xks))
+
+    A = _dense_A(spec, params, xc, xk, jnp.float64)
+    Ks = np.asarray(gram(spec, params, xs, xks, xc, xk))
+    ref = Ks @ np.linalg.solve(A, np.asarray(y))
+    assert np.allclose(mean, ref, rtol=1e-6, atol=1e-8)
+    # blocked star path
+    mean_b = np.asarray(iter_predict_mean(spec, cfg, params, xc, xk, y, xs, xks,
+                                          star_block=16))
+    assert np.allclose(mean_b, mean, atol=1e-10)
+
+
+@pytest.mark.parametrize("rank", [0, 12])
+def test_iter_fit_recovers_hyperparameters(rank):
+    """A short L-BFGS on the iterative objective lands in the same basin as
+    the Cholesky objective (same optimizer, same start)."""
+    from gumbi_tpu.ops.optimize import lbfgs_backtracking_minimize
+
+    n = 200
+    spec, _, uparams, xc, xk, y = _problem(n=n, seed=11)
+    la = jnp.asarray([2.0, 2.0])
+    lb = jnp.asarray([1.0, 1.0])
+    cfg = IterConfig(maxiter=120, tol=1e-6, n_probes=16, precond_rank=rank,
+                     quad_steps=30, block=0)
+    pn, pk = draw_probes(3, n, cfg, dtype=jnp.float64)
+    u0 = {k: v + 0.4 for k, v in uparams.items()}
+
+    f_iter = lambda u: iter_map_neg_logp(spec, u, xc, xk, y, la, lb, pn, pk, cfg)
+    f_chol = lambda u: map_neg_logp(spec, u, xc, xk, y, la, lb)
+    ui, fi, _ = lbfgs_backtracking_minimize(f_iter, u0, maxiter=40, ftol=1e-9)
+    uc, fc, _ = lbfgs_backtracking_minimize(f_chol, u0, maxiter=40, ftol=1e-9)
+    # evaluate BOTH solutions under the exact objective: the iterative
+    # optimum must be within a fraction of a nat of the exact optimum
+    fi_exact = float(f_chol(ui))
+    assert fi_exact - float(fc) < 0.5, (fi_exact, float(fc))
