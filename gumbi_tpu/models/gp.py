@@ -86,6 +86,9 @@ class GP(Regressor):
         self._cat_maps = {}
         self._structure = "Hadamard"
         self._mask = None
+        # Iterative-engine (mBCG) state; populated by _find_MAP_iterative
+        self._iter_cache = None
+        self._iter_state = None
         # Heteroskedastic-input (noise GP) state; populated by _find_MAP_het
         self._noise_params = None
         self._noise_cache = None
@@ -681,7 +684,7 @@ class GP(Regressor):
 
     def find_MAP(
         self, n_restarts=8, maxiter=500, tol=1e-8, seed=None, mesh=None,
-        shard_data=False, **kwargs
+        shard_data=False, engine="cholesky", iter_config=None, **kwargs
     ):
         """Learn MAP hyperparameters by multi-restart L-BFGS on device.
 
@@ -696,9 +699,41 @@ class GP(Regressor):
         itself shards instead: Gram assembly AND the blocked Cholesky
         distribute over the 'data' axis with O(N²/P) per-device memory
         (:mod:`gumbi_tpu.parallel.blocked`) — the exact-dense large-N path.
+
+        ``engine='iterative'`` (dense Hadamard, single chip) swaps the
+        Cholesky marginal likelihood for the matrix-free mBCG + stochastic
+        Lanczos engine (:mod:`gumbi_tpu.ops.iterative`): O(N·block) memory,
+        all-GEMM matvecs — exact dense fits at N = 50k on one chip
+        (benchmarks/bench_iterative50k.py: one value+grad 0.23 s at 50k).
+        ``iter_config`` takes an :class:`~gumbi_tpu.ops.IterConfig`; the
+        default picks a block size for large N automatically.
         """
         assert self._spec is not None, "Call build_model first"
         seed = self.seed if seed is None else seed
+        self._iter_cache = None
+        self._iter_state = None
+
+        if engine not in ("cholesky", "iterative"):
+            raise ValueError("engine must be 'cholesky' or 'iterative'")
+        if engine == "iterative":
+            if mesh is not None:
+                raise NotImplementedError(
+                    "engine='iterative' is the single-chip large-N path; "
+                    "combine large N with a mesh via shard_data=True instead."
+                )
+            if (
+                self.sparse
+                or self._structure in ("Kronecker", "Independent")
+                or getattr(self, "heteroskedastic_inputs", False)
+            ):
+                raise NotImplementedError(
+                    "engine='iterative' supports the dense Hadamard "
+                    "structure (the tall multi-output layout included)."
+                )
+            return self._find_MAP_iterative(
+                iter_config, n_restarts=n_restarts, maxiter=maxiter, tol=tol,
+                seed=seed,
+            )
 
         u0s = initial_params(
             self._spec, self._ls_alpha, self._ls_beta, n_restarts=n_restarts, seed=seed,
@@ -887,6 +922,69 @@ class GP(Regressor):
             )
         return self.MAP
 
+    def _find_MAP_iterative(self, iter_config, *, n_restarts, maxiter, tol, seed):
+        """Dense-Hadamard MAP fit through the mBCG/SLQ engine.
+
+        Data is bucket-padded (via the engine's exact identity-row masking)
+        to a multiple of the matvec block, probes are drawn once per fit
+        (deterministic objective), and the posterior state is one PCG solve
+        plus the rank-k pivoted-Cholesky factor — never an (N, N) array.
+        """
+        from ..ops.iterative import (
+            IterConfig, draw_probes, iter_map_neg_logp, iter_posterior_cache,
+        )
+        from ..ops.optimize import multi_restart_minimize
+        from ..ops.priors import constrain
+
+        n = int(self._xc.shape[0])
+        if iter_config is None:
+            # dense matvec while the (N, N) Gram fits comfortably; blocked
+            # streaming beyond that
+            iter_config = IterConfig(block=0 if n <= 16384 else 2048)
+        cfg = iter_config
+
+        xc, xk, yz, mask = self._xc, self._xk, self._yz, self._mask
+        if cfg.block > 0 and n % cfg.block:
+            pad = (-n) % cfg.block
+            xc = jnp.concatenate([xc, jnp.zeros((pad, xc.shape[1]), xc.dtype)])
+            xk = jnp.concatenate(
+                [xk, jnp.zeros((pad, xk.shape[1]), xk.dtype)]
+            )
+            yz = jnp.concatenate([yz, jnp.zeros((pad,), yz.dtype)])
+            base = self._mask if self._mask is not None else jnp.ones((n,), yz.dtype)
+            mask = jnp.concatenate([base, jnp.zeros((pad,), yz.dtype)])
+
+        u0s = initial_params(
+            self._spec, self._ls_alpha, self._ls_beta, n_restarts=n_restarts,
+            seed=seed, dtype=self._dtype,
+        )
+        ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
+        ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
+        pn, pk = draw_probes(seed, int(xc.shape[0]), cfg, dtype=self._dtype)
+
+        def objective(uparams):
+            return iter_map_neg_logp(
+                self._spec, uparams, xc, xk, yz, ls_alpha, ls_beta,
+                pn, pk, cfg, mask=mask,
+            )
+
+        u_best, neg_logp, aux = jax.jit(
+            lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+        )(u0s)
+        params = constrain(u_best)
+        self._params = params
+        self._neg_logp = float(neg_logp)
+        self._fit_aux = {k: np.asarray(v) for k, v in aux.items()}
+        self.MAP = {k: np.asarray(v) for k, v in params.items()}
+        self._cache = None  # never build the (N, N) Cholesky state
+        self._iter_state = {"cfg": cfg, "xc": xc, "xk": xk, "yz": yz, "mask": mask}
+        self._iter_cache = jax.jit(
+            lambda p: iter_posterior_cache(
+                self._spec, cfg, p, xc, xk, yz, mask=mask
+            )
+        )(params)
+        return self.MAP
+
     def _find_MAP_het(
         self, u0s, ls_alpha, ls_beta, *, n_restarts, maxiter, tol, seed, n_iter=2
     ):
@@ -1073,6 +1171,18 @@ class GP(Regressor):
             mean, var = self._kron_predict_tall(xc, xk, with_noise)
         elif self._structure == "Independent":
             mean, var = self._independent_predict_tall(xc, xk, with_noise)
+        elif getattr(self, "_iter_cache", None) is not None:
+            # Fit ran through the iterative engine: predict without ever
+            # materializing an (N, N) array (mean via the cached PCG solve,
+            # variance via the pivoted-Cholesky/Woodbury surrogate).
+            from ..ops.iterative import iter_predict_diag
+
+            st = self._iter_state
+            mean, var = iter_predict_diag(
+                self._spec, st["cfg"], self._params, self._iter_cache,
+                st["xc"], st["xk"], jnp.asarray(xc, st["xc"].dtype),
+                jnp.asarray(xk), with_noise=with_noise, mask=st["mask"],
+            )
         else:
             from ..ops.posterior import predict_diag_chunked
 

@@ -16,6 +16,8 @@ from .iterative import (  # noqa: F401
     draw_probes,
     iter_gaussian_logp,
     iter_map_neg_logp,
+    iter_posterior_cache,
+    iter_predict_diag,
     iter_predict_mean,
 )
 from .mll import DEFAULT_JITTER, cholesky_factor, map_neg_logp, mll  # noqa: F401

@@ -472,6 +472,88 @@ def iter_map_neg_logp(
     return jnp.where(jnp.isfinite(total), -total, jnp.inf)
 
 
+def iter_posterior_cache(spec, cfg, params, xc, xk, y, mask=None, noise_mult=None):
+    """Array-only posterior state for iterative prediction.
+
+    One PCG solve for α = A⁻¹y plus the preconditioner factor L. Returned as
+    a dict of plain arrays (pytree-friendly, checkpointable):
+    {alpha, L, d}. Requires ``cfg.precond_rank > 0`` — the low-rank factor
+    doubles as the variance surrogate (see :func:`iter_predict_diag`).
+    """
+    if cfg.precond_rank <= 0:
+        raise ValueError("iter_posterior_cache needs precond_rank > 0")
+    d = _noise_vec(spec, params, xk, cfg.jitter, mask, noise_mult, y.dtype)
+    matvec = _make_matvec(spec, cfg, params, xc, xk, d, mask)
+    kdiag = gram_diag(spec, params, xc, xk)
+    if mask is not None:
+        kdiag = kdiag * mask
+
+    def row_fn(i):
+        xci = jax.lax.dynamic_slice_in_dim(xc, i, 1)
+        xki = jax.lax.dynamic_slice_in_dim(xk, i, 1)
+        row = gram(spec, params, xci, xki, xc, xk)[0]
+        if mask is not None:
+            row = row * mask[i] * mask
+        return row
+
+    L = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank)
+    psolve, _ = _make_precond(L, d)
+    ym = y * mask if mask is not None else y
+    X, *_ = pcg(matvec, psolve, ym[:, None], cfg.maxiter, cfg.tol)
+    alpha = X[:, 0]
+    if mask is not None:
+        alpha = alpha * mask
+    return {"alpha": alpha, "L": L, "d": d}
+
+
+def iter_predict_diag(
+    spec, cfg, params, cache, xc, xk, xc_star, xk_star, with_noise=True,
+    mask=None, chunk=2048,
+):
+    """(mean, var) at test points from an :func:`iter_posterior_cache`.
+
+    mean = K(*,X) α is exact to the PCG tolerance. The variance uses the
+    preconditioner surrogate: var = k** − k*ᵀ P⁻¹ k* with P = LLᵀ + D — a
+    Nyström-style predictive variance whose pivots are the greedy
+    pivoted-Cholesky choices (optimal one-step pivots, unlike FITC's
+    kmeans centers). When the fit's CG converges in a few iterations
+    (P ≈ A, the regime `bench_iterative50k.py` reports via `cg_iters`),
+    this is near-exact; tests pin it against the Cholesky posterior.
+    Conservative by construction: P ⪰-ordering makes k*ᵀP⁻¹k* ≤ k*ᵀA⁻¹k*
+    when P ⪰ A on the observed subspace, so variances err on the wide side
+    for the truncated spectrum.
+    """
+    alpha, L, d = cache["alpha"], cache["L"], cache["d"]
+    psolve, _ = _make_precond(L, d)
+    m = xc_star.shape[0]
+    pad = (-m) % chunk
+    xcp = jnp.concatenate([xc_star, jnp.zeros((pad,) + xc_star.shape[1:], xc_star.dtype)])
+    xkp = jnp.concatenate([xk_star, jnp.zeros((pad,) + xk_star.shape[1:], xk_star.dtype)])
+    nb = (m + pad) // chunk
+
+    def body(i, out):
+        mean_o, var_o = out
+        xcb = jax.lax.dynamic_slice_in_dim(xcp, i * chunk, chunk)
+        xkb = jax.lax.dynamic_slice_in_dim(xkp, i * chunk, chunk)
+        Ks = gram(spec, params, xcb, xkb, xc, xk)  # (chunk, N)
+        if mask is not None:
+            Ks = Ks * mask[None, :]
+        mu = jnp.dot(Ks, alpha, precision=_HI)
+        W = psolve(Ks.T)  # (N, chunk)
+        kd = gram_diag(spec, params, xcb, xkb)
+        var = jnp.maximum(kd - jnp.sum(Ks * W.T, axis=1), 0.0)
+        mean_o = jax.lax.dynamic_update_slice_in_dim(mean_o, mu, i * chunk, axis=0)
+        var_o = jax.lax.dynamic_update_slice_in_dim(var_o, var, i * chunk, axis=0)
+        return mean_o, var_o
+
+    zeros = jnp.zeros((m + pad,), alpha.dtype)
+    mean, var = jax.lax.fori_loop(0, nb, body, (zeros, zeros))
+    mean, var = mean[:m], var[:m]
+    if with_noise:
+        var = var + noise_diag(spec, params, xk_star, n=m, dtype=alpha.dtype)
+    return mean, var
+
+
 def iter_predict_mean(
     spec, cfg, params, xc, xk, y, xc_star, xk_star, mask=None, noise_mult=None,
     star_block=4096,

@@ -226,3 +226,66 @@ def test_iter_fit_recovers_hyperparameters(rank):
     # optimum must be within a fraction of a nat of the exact optimum
     fi_exact = float(f_chol(ui))
     assert fi_exact - float(fc) < 0.5, (fi_exact, float(fc))
+
+
+def test_gp_model_iterative_engine_matches_cholesky():
+    """`GP.fit(MAP_kwargs=dict(engine='iterative'))` through the public API:
+    same basin as the Cholesky engine, predictions close, no (N, N) cache."""
+    import gumbi_tpu as gmb
+
+    cars = gmb.data.cars(n=120)
+    ds = gmb.DataSet(
+        cars[["mpg", "horsepower"]].dropna(), outputs=["mpg"],
+        log_vars=["mpg", "horsepower"],
+    )
+    kw = dict(outputs=["mpg"], continuous_dims=["horsepower"])
+    gp_c = gmb.GP(ds)
+    gp_c.fit(**kw, MAP_kwargs=dict(n_restarts=3, maxiter=150))
+    gp_i = gmb.GP(ds)
+    cfg = IterConfig(maxiter=200, tol=1e-6, n_probes=16, precond_rank=32,
+                     quad_steps=32, block=32)  # 120 % 32 != 0 → exercises padding
+    gp_i.fit(**kw, MAP_kwargs=dict(n_restarts=3, maxiter=150, engine="iterative",
+                                   iter_config=cfg))
+    assert gp_i._cache is None and gp_i._iter_cache is not None
+
+    X = gp_c.prepare_grid(resolution=40)
+    y_c = gp_c.predict_grid()
+    gp_i.prepare_grid(resolution=40)
+    y_i = gp_i.predict_grid()
+    mu_c, mu_i = np.asarray(y_c.μ, float), np.asarray(y_i.μ, float)
+    sd_c, sd_i = np.asarray(y_c.σ, float), np.asarray(y_i.σ, float)
+    # same basin ⇒ close posterior surfaces (independent probe noise allows
+    # small hyperparameter offsets)
+    assert np.allclose(mu_i, mu_c, rtol=0.05, atol=0.05 * np.abs(mu_c).max())
+    assert np.allclose(sd_i, sd_c, rtol=0.25, atol=0.1 * sd_c.max())
+
+    # exact-objective quality: the iterative optimum scores within a nat/pt
+    from gumbi_tpu.ops.mll import map_neg_logp
+
+    la = jnp.asarray(gp_c._ls_alpha, gp_c._dtype)
+    lb = jnp.asarray(gp_c._ls_beta, gp_c._dtype)
+    from gumbi_tpu.ops.priors import unconstrain
+
+    f_exact = lambda p: float(map_neg_logp(
+        gp_c._spec, unconstrain(p), gp_c._xc, gp_c._xk, gp_c._yz, la, lb))
+    assert f_exact(gp_i._params) - f_exact(gp_c._params) < 1.0
+
+
+def test_gp_model_iterative_engine_guards():
+    import gumbi_tpu as gmb
+
+    cars = gmb.data.cars(n=60)
+    ds = gmb.DataSet(
+        cars[["mpg", "acceleration", "horsepower"]].dropna(),
+        outputs=["mpg", "acceleration"], log_vars=["mpg", "horsepower"],
+    )
+    gp = gmb.GP(ds)
+    gp.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+    gp.build_model(sparse=True, n_u=16)
+    with pytest.raises(NotImplementedError):
+        gp.find_MAP(engine="iterative")
+    gp2 = gmb.GP(ds)
+    gp2.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+    gp2.build_model()
+    with pytest.raises(ValueError):
+        gp2.find_MAP(engine="bogus")
