@@ -1174,7 +1174,9 @@ class GP(Regressor):
         elif getattr(self, "_iter_cache", None) is not None:
             # Fit ran through the iterative engine: predict without ever
             # materializing an (N, N) array (mean via the cached PCG solve,
-            # variance via the pivoted-Cholesky/Woodbury surrogate).
+            # variance via the rank-k LOVE factor — conservative, never
+            # below the exact posterior variance; Nyström fallback when
+            # love_rank=0).
             from ..ops.iterative import iter_predict_diag
 
             st = self._iter_state

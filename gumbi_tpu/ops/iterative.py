@@ -51,6 +51,7 @@ __all__ = [
     "IterConfig",
     "draw_probes",
     "pivoted_cholesky",
+    "lanczos",
     "pcg",
     "iter_gaussian_logp",
     "iter_map_neg_logp",
@@ -77,6 +78,12 @@ class IterConfig:
     quad_steps     Lanczos steps kept for the logdet quadrature (t ≤ maxiter;
                    the t×t tridiagonal eigenproblems are negligible).
     jitter         diagonal stabilization added to the noise (PyMC-matched).
+    love_rank      Lanczos rank of the LOVE predictive-variance factor
+                   (Pleiss et al., "Constant-Time Predictive Distributions
+                   for Gaussian Processes", ICML 2018 — the algorithm behind
+                   GPyTorch's `fast_pred_var`, which the reference's BoTorch
+                   backend runs under, ref gumbi/regression/botorch/GP.py:420).
+                   0 falls back to the preconditioner (Nyström) surrogate.
     """
 
     maxiter: int = 256
@@ -86,6 +93,7 @@ class IterConfig:
     block: int = 0
     quad_steps: int = 32
     jitter: float = DEFAULT_JITTER
+    love_rank: int = 64
 
 
 def draw_probes(seed: int, n: int, cfg: IterConfig, dtype=jnp.float32):
@@ -219,6 +227,73 @@ def _make_precond(L, d):
         return dinv[:, None] * V - jnp.dot(DL, t, precision=_HI)
 
     return psolve, logdet_p
+
+
+# ------------------------------------------------------------------
+# LOVE predictive variances: rank-k Lanczos factor of A
+# ------------------------------------------------------------------
+
+
+def lanczos(matvec, b, k):
+    """k-step Lanczos of the SPD operator behind ``matvec``, fully
+    reorthogonalized (two Gram-Schmidt passes per step — mandatory in f32,
+    and what keeps the tridiagonal T = QᵀAQ exactly to rounding).
+
+    Returns ``(Q, diag, off)``: Q (n, k) with orthonormal live columns and
+    zero columns after a breakdown (invariant subspace reached), and the
+    tridiagonal coefficients of T. Dead steps are padded with diag=1/off=0 —
+    an identity block that keeps T positive definite and is invisible to
+    any quadratic form through Q (the dead columns are zero).
+    """
+    n = b.shape[0]
+    dt = b.dtype
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    q0 = b / jnp.maximum(bnorm, 1e-30)
+    Q0 = jnp.zeros((n, k), dt).at[:, 0].set(q0)
+
+    def body(j, state):
+        Q, diag, off = state
+        q = jax.lax.dynamic_slice_in_dim(Q, j, 1, axis=1)[:, 0]
+        live = jnp.sum(q * q) > 0.5  # columns are unit-norm or exactly zero
+        w = matvec(q[:, None])[:, 0]
+        a = jnp.dot(q, w, precision=_HI)
+        diag = diag.at[j].set(jnp.where(live, a, 1.0))
+        # full reorthogonalization: projects out q, q_prev, AND accumulated
+        # rounding drift against every earlier column (zero cols are inert)
+        w = w - Q @ jnp.dot(Q.T, w, precision=_HI)
+        w = w - Q @ jnp.dot(Q.T, w, precision=_HI)
+        bnext = jnp.sqrt(jnp.sum(w * w))
+        tiny = jnp.asarray(1e-7 if dt == jnp.float32 else 1e-12, dt)
+        good = jnp.logical_and(live, bnext > tiny * jnp.abs(a))
+        off = off.at[j].set(jnp.where(good, bnext, 0.0))
+        qn = jnp.where(good, w / jnp.maximum(bnext, 1e-30), jnp.zeros_like(w))
+        Q = jax.lax.cond(
+            j + 1 < k,
+            lambda Q: Q.at[:, jnp.minimum(j + 1, k - 1)].set(qn),
+            lambda Q: Q,
+            Q,
+        )
+        return Q, diag, off
+
+    state = (Q0, jnp.zeros((k,), dt), jnp.zeros((k,), dt))
+    Q, diag, off = jax.lax.fori_loop(0, k, body, state)
+    return Q, diag, off[: k - 1]
+
+
+def _love_factor(matvec, b, k):
+    """W (n, k) with W Wᵀ = Q T⁻¹ Qᵀ ≈ A⁻¹ — the LOVE root decomposition.
+
+    The projection bound vᵀQ(QᵀAQ)⁻¹Qᵀv ≤ vᵀA⁻¹v (Schur complement of the
+    PSD block matrix [[A, v], [vᵀ, vᵀA⁻¹v]] projected onto range(Q)) holds
+    for EVERY v, so variances computed from W are conservative: never
+    smaller than the exact posterior variance.
+    """
+    Q, diag, off = lanczos(matvec, b, k)
+    T = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+    C = jnp.linalg.cholesky(T)
+    # W = Q C⁻ᵀ via one (k, n) triangular solve
+    Wt = jax.scipy.linalg.solve_triangular(C, Q.T, lower=True)
+    return Wt.T
 
 
 # ------------------------------------------------------------------
@@ -475,10 +550,12 @@ def iter_map_neg_logp(
 def iter_posterior_cache(spec, cfg, params, xc, xk, y, mask=None, noise_mult=None):
     """Array-only posterior state for iterative prediction.
 
-    One PCG solve for α = A⁻¹y plus the preconditioner factor L. Returned as
-    a dict of plain arrays (pytree-friendly, checkpointable):
-    {alpha, L, d}. Requires ``cfg.precond_rank > 0`` — the low-rank factor
-    doubles as the variance surrogate (see :func:`iter_predict_diag`).
+    One PCG solve for α = A⁻¹y, the preconditioner factor L, and (when
+    ``cfg.love_rank > 0``) the rank-k LOVE factor W with W Wᵀ ≈ A⁻¹ for
+    predictive variances. Returned as a dict of plain arrays
+    (pytree-friendly, checkpointable): {alpha, L, d[, W]}. Requires
+    ``cfg.precond_rank > 0`` — the low-rank factor accelerates the solve and
+    is the variance fallback when LOVE is off (see :func:`iter_predict_diag`).
     """
     if cfg.precond_rank <= 0:
         raise ValueError("iter_posterior_cache needs precond_rank > 0")
@@ -503,7 +580,15 @@ def iter_posterior_cache(spec, cfg, params, xc, xk, y, mask=None, noise_mult=Non
     alpha = X[:, 0]
     if mask is not None:
         alpha = alpha * mask
-    return {"alpha": alpha, "L": L, "d": d}
+    cache = {"alpha": alpha, "L": L, "d": d}
+    if cfg.love_rank > 0:
+        # Krylov(A, y) — the data vector is a generic start whose Krylov
+        # space tracks A's dominant eigenspace; masked rows of ym are zero
+        # and A acts identically on them, so the space (and every Lanczos
+        # vector) stays inside the unmasked subspace.
+        k = min(int(cfg.love_rank), int(xc.shape[0]))
+        cache["W"] = _love_factor(matvec, ym, k)
+    return cache
 
 
 def iter_predict_diag(
@@ -512,19 +597,29 @@ def iter_predict_diag(
 ):
     """(mean, var) at test points from an :func:`iter_posterior_cache`.
 
-    mean = K(*,X) α is exact to the PCG tolerance. The variance uses the
-    preconditioner surrogate: var = k** − k*ᵀ P⁻¹ k* with P = LLᵀ + D — a
-    Nyström-style predictive variance whose pivots are the greedy
-    pivoted-Cholesky choices (optimal one-step pivots, unlike FITC's
-    kmeans centers). When the fit's CG converges in a few iterations
-    (P ≈ A, the regime `bench_iterative50k.py` reports via `cg_iters`),
-    this is near-exact; tests pin it against the Cholesky posterior.
-    Conservative by construction: P ⪰-ordering makes k*ᵀP⁻¹k* ≤ k*ᵀA⁻¹k*
-    when P ⪰ A on the observed subspace, so variances err on the wide side
-    for the truncated spectrum.
+    mean = K(*,X) α is exact to the PCG tolerance. The variance is
+    var = k** − ‖Wᵀ k*‖² with the rank-k LOVE factor W Wᵀ = Q T⁻¹ Qᵀ
+    (Pleiss et al. 2018 — GPyTorch's `fast_pred_var`, which the reference's
+    BoTorch backend runs under). The projection bound makes it
+    CONSERVATIVE for every test point: k*ᵀ W Wᵀ k* ≤ k*ᵀ A⁻¹ k*, so the
+    reported variance is never below the exact posterior variance, and it
+    converges to exact as the rank approaches A's effective rank (tests pin
+    it against the Cholesky posterior).
+
+    Caches without a LOVE factor (``cfg.love_rank == 0``) fall back to the
+    preconditioner surrogate var = k** − k*ᵀ P⁻¹ k*, P = LLᵀ + D — a
+    Nyström-style variance whose pivots are the greedy pivoted-Cholesky
+    choices. Near-exact when CG converges in a few iterations (P ≈ A, the
+    regime `bench_iterative50k.py` reports via `cg_iters`), but
+    ANTI-conservative for the truncated spectrum: A ⪰ P ⟹ P⁻¹ ⪰ A⁻¹, so it
+    can under-report variance — which is why LOVE is the default.
     """
     alpha, L, d = cache["alpha"], cache["L"], cache["d"]
-    psolve, _ = _make_precond(L, d)
+    W_love = cache.get("W")
+    if W_love is None:
+        psolve, _ = _make_precond(L, d)
+    else:
+        psolve = None
     m = xc_star.shape[0]
     pad = (-m) % chunk
     xcp = jnp.concatenate([xc_star, jnp.zeros((pad,) + xc_star.shape[1:], xc_star.dtype)])
@@ -539,9 +634,14 @@ def iter_predict_diag(
         if mask is not None:
             Ks = Ks * mask[None, :]
         mu = jnp.dot(Ks, alpha, precision=_HI)
-        W = psolve(Ks.T)  # (N, chunk)
         kd = gram_diag(spec, params, xcb, xkb)
-        var = jnp.maximum(kd - jnp.sum(Ks * W.T, axis=1), 0.0)
+        if W_love is not None:
+            proj = jnp.dot(Ks, W_love, precision=_HI)  # (chunk, k)
+            qform = jnp.sum(proj * proj, axis=1)
+        else:
+            V = psolve(Ks.T)  # (N, chunk)
+            qform = jnp.sum(Ks * V.T, axis=1)
+        var = jnp.maximum(kd - qform, 0.0)
         mean_o = jax.lax.dynamic_update_slice_in_dim(mean_o, mu, i * chunk, axis=0)
         var_o = jax.lax.dynamic_update_slice_in_dim(var_o, var, i * chunk, axis=0)
         return mean_o, var_o

@@ -19,11 +19,17 @@ import jax.numpy as jnp
 from gumbi_tpu.ops import GPSpec, GPTerm
 from gumbi_tpu.ops.iterative import (
     IterConfig,
+    _love_factor,
+    _make_matvec,
     _make_precond,
+    _noise_vec,
     draw_probes,
     iter_gaussian_logp,
     iter_map_neg_logp,
+    iter_posterior_cache,
+    iter_predict_diag,
     iter_predict_mean,
+    lanczos,
     pcg,
     pivoted_cholesky,
 )
@@ -182,6 +188,82 @@ def test_masked_padding_is_exact():
     lp_pad = float(iter_gaussian_logp(spec, cfg, params, xcp, xkp, yp, Zp,
                                       jnp.zeros((0, n)), mask, None))
     assert np.isclose(lp_pad, lp_ref, rtol=1e-9)
+
+
+def test_lanczos_tridiagonalizes():
+    """Q orthonormal, T = QᵀAQ reproduced by the returned coefficients."""
+    spec, params, _, xc, xk, y = _problem(n=70)
+    A = jnp.asarray(_dense_A(spec, params, xc, xk, jnp.float64))
+    k = 20
+    Q, diag, off = lanczos(lambda V: A @ V, y, k)
+    Qn = np.asarray(Q)
+    assert np.allclose(Qn.T @ Qn, np.eye(k), atol=1e-10)  # reorthogonalized
+    T = np.diag(np.asarray(diag)) + np.diag(np.asarray(off), 1) + np.diag(np.asarray(off), -1)
+    assert np.allclose(Qn.T @ np.asarray(A) @ Qn, T, atol=1e-8)
+
+
+def test_love_variance_conservative_and_converging():
+    """LOVE quadratic form is a guaranteed lower bound of k*ᵀA⁻¹k* (never
+    under-reports variance) and approaches exact as the rank grows."""
+    n, m = 150, 41
+    spec, params, _, xc, xk, y = _problem(n=n, seed=9)
+    A = np.asarray(_dense_A(spec, params, xc, xk, jnp.float64))
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(rng.uniform(-2, 2, size=(m, 2)))
+    xks = jnp.zeros((m, 0), dtype=jnp.int32)
+    Ks = np.asarray(gram(spec, params, xs, xks, xc, xk))
+    q_exact = np.sum(Ks * np.linalg.solve(A, Ks.T).T, axis=1)
+
+    d = _noise_vec(spec, params, xk, DEFAULT_JITTER, None, None, jnp.float64)
+    matvec = _make_matvec(
+        spec, IterConfig(block=0), params, xc, xk, d, None
+    )
+    errs = []
+    for k in (8, 32, 96):
+        W = np.asarray(_love_factor(matvec, y, k))
+        q_love = np.sum((Ks @ W) ** 2, axis=1)
+        assert np.all(q_love <= q_exact + 1e-8), f"rank {k}: bound violated"
+        errs.append(float(np.max(np.abs(q_love - q_exact))))
+    assert errs[2] < errs[0]  # monotone-ish convergence across the sweep
+    assert errs[2] < 1e-5 * float(q_exact.max())  # near-exact at rank 96
+
+
+def test_iter_predict_diag_love_matches_cholesky_posterior():
+    """Full cache path: LOVE variances ≈ exact posterior variances, and
+    strictly ≥ them (conservative); Nyström fallback still close."""
+    n, m = 160, 37
+    spec, params, _, xc, xk, y = _problem(n=n, seed=4)
+    rng = np.random.default_rng(11)
+    xs = jnp.asarray(rng.uniform(-2, 2, size=(m, 2)))
+    xks = jnp.zeros((m, 0), dtype=jnp.int32)
+
+    A = np.asarray(_dense_A(spec, params, xc, xk, jnp.float64))
+    Ks = np.asarray(gram(spec, params, xs, xks, xc, xk))
+    mu_ref = Ks @ np.linalg.solve(A, np.asarray(y))
+    from gumbi_tpu.ops.kernels import gram_diag
+
+    kd = np.asarray(gram_diag(spec, params, xs, xks))
+    var_ref = kd - np.sum(Ks * np.linalg.solve(A, Ks.T).T, axis=1)
+
+    cfg = IterConfig(maxiter=300, tol=1e-12, n_probes=1, precond_rank=16,
+                     block=0, love_rank=120)
+    cache = iter_posterior_cache(spec, cfg, params, xc, xk, y)
+    assert cache["W"].shape == (n, 120)
+    mean, var = iter_predict_diag(
+        spec, cfg, params, cache, xc, xk, xs, xks, with_noise=False, chunk=16
+    )
+    assert np.allclose(np.asarray(mean), mu_ref, rtol=1e-6, atol=1e-8)
+    assert np.all(np.asarray(var) >= var_ref - 1e-8)  # conservative
+    assert np.allclose(np.asarray(var), var_ref, rtol=0.02, atol=1e-6)
+
+    cfg0 = IterConfig(maxiter=300, tol=1e-12, n_probes=1, precond_rank=64,
+                      block=0, love_rank=0)
+    cache0 = iter_posterior_cache(spec, cfg0, params, xc, xk, y)
+    assert "W" not in cache0
+    _, var0 = iter_predict_diag(
+        spec, cfg0, params, cache0, xc, xk, xs, xks, with_noise=False
+    )
+    assert np.allclose(np.asarray(var0), var_ref, rtol=0.05, atol=1e-4)
 
 
 def test_iter_predict_mean_matches_cholesky():
