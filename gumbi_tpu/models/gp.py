@@ -700,13 +700,17 @@ class GP(Regressor):
         distribute over the 'data' axis with O(N²/P) per-device memory
         (:mod:`gumbi_tpu.parallel.blocked`) — the exact-dense large-N path.
 
-        ``engine='iterative'`` (dense Hadamard, single chip) swaps the
-        Cholesky marginal likelihood for the matrix-free mBCG + stochastic
-        Lanczos engine (:mod:`gumbi_tpu.ops.iterative`): O(N·block) memory,
-        all-GEMM matvecs — exact dense fits at N = 50k on one chip
+        ``engine='iterative'`` (dense Hadamard) swaps the Cholesky marginal
+        likelihood for the matrix-free mBCG + stochastic Lanczos engine
+        (:mod:`gumbi_tpu.ops.iterative`): O(N·block) memory, all-GEMM
+        matvecs — exact dense fits at N = 50k on one chip
         (benchmarks/bench_iterative50k.py: one value+grad 0.23 s at 50k).
         ``iter_config`` takes an :class:`~gumbi_tpu.ops.IterConfig`; the
-        default picks a block size for large N automatically.
+        default picks a block size for large N automatically. Combined with
+        ``mesh=...`` the kernel matvec row-blocks shard over the mesh 'data'
+        axis (:mod:`gumbi_tpu.parallel.iterative`): O(N²·R/P) compute and
+        O(block·N) memory per device — the multi-chip exact-dense path
+        beyond one chip's HBM or latency budget.
         """
         assert self._spec is not None, "Call build_model first"
         seed = self.seed if seed is None else seed
@@ -716,11 +720,6 @@ class GP(Regressor):
         if engine not in ("cholesky", "iterative"):
             raise ValueError("engine must be 'cholesky' or 'iterative'")
         if engine == "iterative":
-            if mesh is not None:
-                raise NotImplementedError(
-                    "engine='iterative' is the single-chip large-N path; "
-                    "combine large N with a mesh via shard_data=True instead."
-                )
             if (
                 self.sparse
                 or self._structure in ("Kronecker", "Independent")
@@ -732,7 +731,7 @@ class GP(Regressor):
                 )
             return self._find_MAP_iterative(
                 iter_config, n_restarts=n_restarts, maxiter=maxiter, tol=tol,
-                seed=seed,
+                seed=seed, mesh=mesh,
             )
 
         u0s = initial_params(
@@ -922,13 +921,16 @@ class GP(Regressor):
             )
         return self.MAP
 
-    def _find_MAP_iterative(self, iter_config, *, n_restarts, maxiter, tol, seed):
+    def _find_MAP_iterative(self, iter_config, *, n_restarts, maxiter, tol, seed, mesh=None):
         """Dense-Hadamard MAP fit through the mBCG/SLQ engine.
 
         Data is bucket-padded (via the engine's exact identity-row masking)
         to a multiple of the matvec block, probes are drawn once per fit
         (deterministic objective), and the posterior state is one PCG solve
         plus the rank-k pivoted-Cholesky factor — never an (N, N) array.
+        With a ``mesh`` the matvec row-blocks shard over the 'data' axis
+        (:mod:`gumbi_tpu.parallel.iterative`); the posterior cache has the
+        same contents either way, so prediction is path-independent.
         """
         from ..ops.iterative import (
             IterConfig, draw_probes, iter_map_neg_logp, iter_posterior_cache,
@@ -944,7 +946,11 @@ class GP(Regressor):
         cfg = iter_config
 
         xc, xk, yz, mask = self._xc, self._xk, self._yz, self._mask
-        if cfg.block > 0 and n % cfg.block:
+        if mesh is not None:
+            from ..parallel.iterative import pad_for_dist_iter
+
+            xc, xk, yz, mask = pad_for_dist_iter(mesh, cfg, xc, xk, yz, mask)
+        elif cfg.block > 0 and n % cfg.block:
             pad = (-n) % cfg.block
             xc = jnp.concatenate([xc, jnp.zeros((pad, xc.shape[1]), xc.dtype)])
             xk = jnp.concatenate(
@@ -961,6 +967,26 @@ class GP(Regressor):
         ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
         ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
         pn, pk = draw_probes(seed, int(xc.shape[0]), cfg, dtype=self._dtype)
+
+        if mesh is not None:
+            from ..parallel.iterative import dist_iter_fit_gp_map
+
+            params, neg_logp, aux = dist_iter_fit_gp_map(
+                mesh, self._spec, cfg, xc, xk, yz, ls_alpha, ls_beta, u0s,
+                pn, pk, mask, maxiter=maxiter, tol=tol,
+            )
+            self._params = params
+            self._neg_logp = float(neg_logp)
+            self._fit_aux = {k: np.asarray(v) for k, v in aux.items()}
+            self.MAP = {k: np.asarray(v) for k, v in params.items()}
+            self._cache = None
+            self._iter_state = {"cfg": cfg, "xc": xc, "xk": xk, "yz": yz, "mask": mask}
+            from ..parallel.iterative import dist_iter_posterior_cache
+
+            self._iter_cache = dist_iter_posterior_cache(
+                mesh, self._spec, cfg, params, xc, xk, yz, mask
+            )
+            return self.MAP
 
         def objective(uparams):
             return iter_map_neg_logp(

@@ -1,0 +1,377 @@
+"""Distributed iterative exact-GP inference: mBCG sharded over the mesh.
+
+The single-chip iterative engine (:mod:`gumbi_tpu.ops.iterative`) makes dense
+EXACT 50k-point GPs fit on one chip by turning every O(N²) FLOP into
+kernel-matrix matvecs. This module distributes that one primitive over the
+mesh 'data' axis: each device builds only its row block K[local, :] of the
+Gram on the fly and contributes an (N/P, R) GEMM; one `all_gather` over ICI
+(N·R floats — a few MB) reassembles the product. Everything else in the
+Krylov loop is O(N·R) elementwise work that stays replicated, which is
+cheaper than the collectives de-replicating it would require. Per-device
+cost per MLL evaluation: compute O(N²·R/P), memory O(block·N) — the v5e-8
+north-star mesh runs the dense-50k matvec with 1/8 of a chip's time and
+memory.
+
+Gradients follow the engine's surrogate discipline (the Krylov loop is NEVER
+differentiated): the backward pass is the same Hutchinson-exact bilinear form
+½αᵀ(dA)α − 1/(2R)·Σᵢ sᵢᵀ(dA)wᵢ, evaluated over the same distributed row
+blocks with a `psum` reduction — one differentiation of the Gram *assembly*,
+O(N²/P) per device.
+
+The reference has no distributed (or even iterative) solver — its large-N
+answer is FITC sparsification or a single CUDA device
+(reference gumbi/regression/pymc/GP.py:571-578, botorch/GP.py:40); the mBCG
+algorithm itself is GPyTorch's (Gardner et al., NeurIPS 2018), reimplemented
+TPU-first in ops/iterative.py and sharded here with JAX collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # JAX ≥ 0.7 public API
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.iterative import (
+    IterConfig,
+    _love_factor,
+    _make_precond,
+    _noise_vec,
+    _slq_logdet,
+    pcg,
+    pivoted_cholesky,
+)
+from ..ops.kernels import GPSpec, gram, gram_diag
+from ..ops.optimize import lbfgs_backtracking_minimize
+from ..ops.priors import constrain, log_prior
+
+__all__ = [
+    "pad_for_dist_iter",
+    "dist_iter_gaussian_logp",
+    "dist_iter_map_neg_logp",
+    "dist_iter_fit_gp_map",
+    "dist_iter_posterior_cache",
+]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def pad_for_dist_iter(mesh: Mesh, cfg: IterConfig, xc, xk, y, mask=None):
+    """Pad the N axis so row blocks split evenly: N % (P·block) == 0.
+
+    Padding rows become identity rows of A via the engine's exact masking
+    convention (ops/mll.py), so the padded log-density equals the unpadded
+    one exactly. Returns (xc, xk, y, mask) with mask always materialized
+    (the distributed path keeps the mask explicit to avoid per-device
+    branching).
+    """
+    n = int(xc.shape[0])
+    mult = mesh.shape["data"] * max(int(cfg.block), 1)
+    pad = (-n) % mult
+    base = mask if mask is not None else jnp.ones((n,), y.dtype)
+    if pad:
+        xc = jnp.concatenate([xc, jnp.zeros((pad, xc.shape[1]), xc.dtype)])
+        xk = jnp.concatenate([xk, jnp.zeros((pad, xk.shape[1]), xk.dtype)])
+        y = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+        base = jnp.concatenate([base, jnp.zeros((pad,), y.dtype)])
+    return xc, xk, y, base
+
+
+def _dist_matvec(spec, cfg, params, xc, xk, d, mask, ndata):
+    """A·V with the row blocks of K built per device, inside shard_map.
+
+    V is replicated (N, R); each device computes K[local, :] @ V (streamed in
+    ``cfg.block``-row Gram tiles when block > 0, so per-device memory never
+    exceeds O(block·N)) and an all_gather over 'data' reassembles A·V.
+    """
+    n = xc.shape[0]
+    nb = n // ndata
+
+    def matvec(V):
+        p = jax.lax.axis_index("data")
+        xc_loc = jax.lax.dynamic_slice_in_dim(xc, p * nb, nb)
+        xk_loc = jax.lax.dynamic_slice_in_dim(xk, p * nb, nb)
+        m_loc = jax.lax.dynamic_slice_in_dim(mask, p * nb, nb)
+
+        if cfg.block <= 0 or cfg.block >= nb:
+            Kb = gram(spec, params, xc_loc, xk_loc, xc, xk)
+            Kb = Kb * (m_loc[:, None] * mask[None, :])
+            out_loc = jnp.dot(Kb, V, precision=_HI)
+        else:
+            b = cfg.block
+            nbb = nb // b
+
+            def body(i, out):
+                xcb = jax.lax.dynamic_slice_in_dim(xc_loc, i * b, b)
+                xkb = jax.lax.dynamic_slice_in_dim(xk_loc, i * b, b)
+                mb = jax.lax.dynamic_slice_in_dim(m_loc, i * b, b)
+                Kt = gram(spec, params, xcb, xkb, xc, xk)
+                Kt = Kt * (mb[:, None] * mask[None, :])
+                yb = jnp.dot(Kt, V, precision=_HI)
+                return jax.lax.dynamic_update_slice_in_dim(out, yb, i * b, axis=0)
+
+            out_loc = jax.lax.fori_loop(0, nbb, body, jnp.zeros((nb, V.shape[1]), V.dtype))
+
+        out = jax.lax.all_gather(out_loc, "data", axis=0, tiled=True)
+        return out + d[:, None] * V
+
+    return matvec
+
+
+def _replicated_precond(spec, cfg, params, xc, xk, d, mask, dtype):
+    """Pivoted-Cholesky preconditioner, computed replicated on every device.
+
+    Rank-k pivoted Cholesky is O(k·N·(d_in + k)) — trivial next to the
+    O(N²·R/P) CG matvecs it accelerates, so replicating it costs less than
+    distributing its serial pivot recurrence would.
+    """
+    kdiag = gram_diag(spec, params, xc, xk) * mask
+
+    def row_fn(i):
+        xci = jax.lax.dynamic_slice_in_dim(xc, i, 1)
+        xki = jax.lax.dynamic_slice_in_dim(xk, i, 1)
+        return gram(spec, params, xci, xki, xc, xk)[0] * mask[i] * mask
+
+    L = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank)
+    psolve, logdet_p = _make_precond(L, d)
+    return L, psolve, logdet_p
+
+
+def _dist_forward(mesh, spec, cfg, params, xc, xk, y, probe_n, probe_k, mask):
+    ndata = mesh.shape["data"]
+    n = xc.shape[0]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def body(params, xc, xk, y, pn, pk, mask):
+        d = _noise_vec(spec, params, xk, cfg.jitter, mask, None, y.dtype)
+        matvec = _dist_matvec(spec, cfg, params, xc, xk, d, mask, ndata)
+        if cfg.precond_rank > 0:
+            L, psolve, logdet_p = _replicated_precond(
+                spec, cfg, params, xc, xk, d, mask, y.dtype
+            )
+            Z = jnp.dot(L, pk, precision=_HI) + jnp.sqrt(d)[:, None] * pn
+        else:
+            psolve = lambda V: V  # noqa: E731
+            logdet_p = jnp.zeros((), y.dtype)
+            Z = pn
+
+        ym = y * mask
+        B = jnp.concatenate([ym[:, None], Z], axis=1)
+        X, al, be, va, iters = pcg(
+            matvec, psolve, B, cfg.maxiter, cfg.tol, track=cfg.quad_steps
+        )
+        alpha, S = X[:, 0], X[:, 1:]
+        quad = jnp.sum(ym * alpha)
+        W = psolve(Z)
+        znorm2 = jnp.sum(Z * W, axis=0)
+        logdet = logdet_p + _slq_logdet(al[:, 1:], be[:, 1:], va[:, 1:], znorm2)
+        n_eff = jnp.sum(mask)
+        logp = -0.5 * (quad + logdet + n_eff * jnp.log(2.0 * jnp.pi))
+        return logp, alpha, S, W, iters
+
+    return body(params, xc, xk, y, probe_n, probe_k, mask)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def dist_iter_gaussian_logp(mesh, spec, cfg, params, xc, xk, y, probe_n, probe_k, mask):
+    """log N(y | 0, K + D) by mBCG + SLQ with the matvec sharded over 'data'.
+
+    Drop-in distributed analogue of :func:`ops.iterative.iter_gaussian_logp`
+    (identical algorithm, identical probe semantics — on matching inputs the
+    two agree to floating-point reduction order). ``mask`` is required; use
+    :func:`pad_for_dist_iter` to pad N to a P·block multiple exactly.
+    """
+    logp, *_ = _dist_forward(mesh, spec, cfg, params, xc, xk, y, probe_n, probe_k, mask)
+    return logp
+
+
+def _dist_fwd(mesh, spec, cfg, params, xc, xk, y, probe_n, probe_k, mask):
+    logp, alpha, S, W, _ = _dist_forward(
+        mesh, spec, cfg, params, xc, xk, y, probe_n, probe_k, mask
+    )
+    return logp, (params, xc, xk, alpha, S, W, mask)
+
+
+def _dist_bilinear(mesh, spec, cfg, params, xc, xk, U, Vw, mask, dtype):
+    """Σ_j wts_j·u_jᵀ A(θ) v_j over distributed row blocks (psum-reduced).
+
+    The only θ-differentiated computation in the backward pass; ``Vw`` is V
+    pre-scaled by the Hutchinson weights. The diagonal (noise) term is O(N·R)
+    and replicated; the Gram term streams the same tiles as the forward
+    matvec under `jax.checkpoint` so backward memory stays O(block·N).
+    """
+    ndata = mesh.shape["data"]
+    nb = xc.shape[0] // ndata
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def body(params, xc, xk, mask, U, Vw):
+        p = jax.lax.axis_index("data")
+        xc_loc = jax.lax.dynamic_slice_in_dim(xc, p * nb, nb)
+        xk_loc = jax.lax.dynamic_slice_in_dim(xk, p * nb, nb)
+        m_loc = jax.lax.dynamic_slice_in_dim(mask, p * nb, nb)
+        U_loc = jax.lax.dynamic_slice_in_dim(U, p * nb, nb)
+
+        if cfg.block <= 0 or cfg.block >= nb:
+            Kb = gram(spec, params, xc_loc, xk_loc, xc, xk)
+            Kb = Kb * (m_loc[:, None] * mask[None, :])
+            part = jnp.sum(U_loc * jnp.dot(Kb, Vw, precision=_HI))
+        else:
+            b = cfg.block
+            nbb = nb // b
+
+            @jax.checkpoint
+            def blk(acc, i):
+                xcb = jax.lax.dynamic_slice_in_dim(xc_loc, i * b, b)
+                xkb = jax.lax.dynamic_slice_in_dim(xk_loc, i * b, b)
+                mb = jax.lax.dynamic_slice_in_dim(m_loc, i * b, b)
+                Kt = gram(spec, params, xcb, xkb, xc, xk)
+                Kt = Kt * (mb[:, None] * mask[None, :])
+                Ub = jax.lax.dynamic_slice_in_dim(U_loc, i * b, b)
+                return acc + jnp.sum(Ub * jnp.dot(Kt, Vw, precision=_HI)), None
+
+            part, _ = jax.lax.scan(blk, jnp.zeros((), dtype), jnp.arange(nbb))
+
+        return jax.lax.psum(part, "data")
+
+    d = _noise_vec(spec, params, xk, cfg.jitter, mask, None, dtype)
+    diag_term = jnp.sum(d * jnp.sum(U * Vw, axis=1))
+    return body(params, xc, xk, mask, U, Vw) + diag_term
+
+
+def _dist_bwd(mesh, spec, cfg, res, g):
+    params, xc, xk, alpha, S, W, mask = res
+    r = S.shape[1]
+    U = jnp.concatenate([alpha[:, None], S], axis=1)
+    V = jnp.concatenate([alpha[:, None], W], axis=1)
+    wts = jnp.concatenate(
+        [jnp.full((1,), 0.5, alpha.dtype), jnp.full((r,), -0.5 / r, alpha.dtype)]
+    )
+    Vw = V * wts[None, :]
+
+    def surrogate(p):
+        return _dist_bilinear(mesh, spec, cfg, p, xc, xk, U, Vw, mask, alpha.dtype)
+
+    p_bar = jax.tree_util.tree_map(lambda t: g * t, jax.grad(surrogate)(params))
+    return (
+        p_bar,
+        jnp.zeros_like(xc),
+        jnp.zeros_like(xk),
+        -g * alpha,
+        jnp.zeros((xc.shape[0], r), alpha.dtype),
+        jnp.zeros((cfg.precond_rank if cfg.precond_rank > 0 else 0, r), alpha.dtype),
+        jnp.zeros_like(mask),
+    )
+
+
+dist_iter_gaussian_logp.defvjp(_dist_fwd, _dist_bwd)
+
+
+def dist_iter_map_neg_logp(
+    mesh, spec, uparams, xc, xk, y, ls_alpha, ls_beta, probe_n, probe_k,
+    cfg: IterConfig, mask,
+):
+    """−[log p(y|θ) + log p(θ)] with the distributed iterative likelihood."""
+    params = constrain(uparams)
+    data_logp = dist_iter_gaussian_logp(
+        mesh, spec, cfg, params, xc, xk, y, probe_n, probe_k, mask
+    )
+    total = data_logp + log_prior(spec, uparams, ls_alpha, ls_beta)
+    return jnp.where(jnp.isfinite(total), -total, jnp.inf)
+
+
+def dist_iter_fit_gp_map(
+    mesh, spec, cfg, xc, xk, y, ls_alpha, ls_beta, u0s, probe_n, probe_k,
+    mask, maxiter=120, tol=1e-5,
+):
+    """Multi-restart MAP fit through the distributed iterative MLL.
+
+    Restarts run as a host loop (the precedent of
+    :func:`sharded.data_sharded_fit_gp_map`): at the N this path exists for,
+    a single optimizer step dominates dispatch, and the host loop keeps one
+    restart's Krylov state live at a time. Returns (params, neg_logp, aux).
+    """
+    def objective(uparams):
+        return dist_iter_map_neg_logp(
+            mesh, spec, uparams, xc, xk, y, ls_alpha, ls_beta,
+            probe_n, probe_k, cfg, mask,
+        )
+
+    run_one = jax.jit(
+        lambda u0: lbfgs_backtracking_minimize(objective, u0, maxiter=maxiter, ftol=tol)
+    )
+    R = jax.tree_util.tree_leaves(u0s)[0].shape[0]
+    best = (None, jnp.inf, None)
+    all_vals, all_iters = [], []
+    for r in range(R):
+        u0 = jax.tree_util.tree_map(lambda leaf: leaf[r], u0s)
+        x_r, f_r, it_r = run_one(u0)
+        all_vals.append(float(f_r))
+        all_iters.append(int(it_r))
+        if best[0] is None or float(f_r) < float(best[1]):
+            best = (x_r, f_r, it_r)
+    aux = {
+        "all_values": jnp.asarray(all_vals),
+        "iters": jnp.asarray(all_iters),
+        "best_restart": int(np.argmin(all_vals)),
+    }
+    return constrain(best[0]), best[1], aux
+
+
+def dist_iter_posterior_cache(mesh, spec, cfg, params, xc, xk, y, mask):
+    """Posterior state {alpha, L, d[, W]} with the solves sharded over 'data'.
+
+    Same contents as :func:`ops.iterative.iter_posterior_cache` (so
+    :func:`ops.iterative.iter_predict_diag` consumes it unchanged), built
+    with the distributed matvec: one PCG solve for α = A⁻¹y and, when
+    ``cfg.love_rank > 0``, the rank-k LOVE factor via distributed Lanczos.
+    """
+    if cfg.precond_rank <= 0:
+        raise ValueError("dist_iter_posterior_cache needs precond_rank > 0")
+    ndata = mesh.shape["data"]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def body(params, xc, xk, y, mask):
+        d = _noise_vec(spec, params, xk, cfg.jitter, mask, None, y.dtype)
+        matvec = _dist_matvec(spec, cfg, params, xc, xk, d, mask, ndata)
+        L, psolve, _ = _replicated_precond(spec, cfg, params, xc, xk, d, mask, y.dtype)
+        ym = y * mask
+        X, *_ = pcg(matvec, psolve, ym[:, None], cfg.maxiter, cfg.tol)
+        alpha = X[:, 0] * mask
+        if cfg.love_rank > 0:
+            k = min(int(cfg.love_rank), int(xc.shape[0]))
+            W = _love_factor(matvec, ym, k)
+        else:
+            W = jnp.zeros((xc.shape[0], 0), y.dtype)
+        return alpha, L, d, W
+
+    alpha, L, d, W = body(params, xc, xk, y, mask)
+    cache = {"alpha": alpha, "L": L, "d": d}
+    if cfg.love_rank > 0:
+        cache["W"] = W
+    return cache
