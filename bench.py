@@ -80,6 +80,17 @@ POLISH_ITERS = int(os.environ.get("BENCH_POLISH_ITERS", 20))  # full-N cap
 # chain's −6894.2 — 0.0007 nats/pt from the exhaustive-search optimum, 7×
 # inside the certified tolerance, for a 22% wall-clock cut.
 POLISH_FTOL = float(os.environ.get("BENCH_POLISH_FTOL", 1e-4))
+# Coarse-stage execution mode:
+#   hostloop  ONE single-restart jitted program dispatched asynchronously
+#             N_RESTARTS times + a device-side argmin select. Steady cost is
+#             within noise of lax.map (the 8 dispatches pipeline), but the
+#             program is small and loads from the compile cache in ~2 s —
+#             where the lax.map-of-L-BFGS program is re-processed by the
+#             remote TPU service for 86-391 s per fresh process EVEN ON a
+#             jax-cache hit (measured r3; the service's own compile cache
+#             does not persist across tunnel sessions for large programs).
+#   map       the round-2 lax.map program (kept for comparison).
+COARSE_MODE = os.environ.get("BENCH_COARSE_MODE", "hostloop")
 GRID = int(os.environ.get("BENCH_GRID", 100))  # resolution PER DIM (ref default)
 BASELINE_SECONDS = 1.0
 # Measured f32 GEMM roofline on this chip (benchmarks/probe_chol.py: 5120²
@@ -163,6 +174,25 @@ def main():
         best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
         return jax.tree_util.tree_map(lambda leaf: leaf[best], xs), its
 
+    def coarse_one(u0s, i):
+        # One restart of the coarse basin search: slice restart i on device
+        # (u0s stays device-resident; only the scalar index crosses the host
+        # boundary per call) and run the same L-BFGS as the map mode.
+        u0 = jax.tree_util.tree_map(
+            lambda leaf: jax.lax.dynamic_index_in_dim(leaf, i, 0, keepdims=False), u0s
+        )
+        return stage(xc_c, Y_c, COARSE_ITERS)(u0)
+
+    def coarse_select(outs):
+        # argmin over the NaN-masked restart objectives, all device-resident.
+        fs = jnp.stack([f for _, f, _ in outs])
+        its = jnp.stack([it for _, _, it in outs])
+        best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
+        x = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves)[best], *[x for x, _, _ in outs]
+        )
+        return x, its
+
     def mid(u0):
         x, _, it = stage(xc_m, Y_m, MID_ITERS, ftol=MID_FTOL)(u0)
         return x, it
@@ -189,6 +219,12 @@ def main():
     # combined map-of-while + 2 whiles + predict program, for ~60 ms of
     # saved dispatch. Four cached programs compile in a fraction of that.)
     coarse_j, mid_j, polish_j, predict_j = map(jax.jit, (coarse, mid, polish, predict))
+    if COARSE_MODE == "hostloop":
+        coarse_one_j, select_j = jax.jit(coarse_one), jax.jit(coarse_select)
+
+        def coarse_j(u0s):  # noqa: F811 — async host loop replaces the map program
+            outs = [coarse_one_j(u0s, np.int32(i)) for i in range(N_RESTARTS)]
+            return select_j(outs)
 
     def run_chain(timed=False):
         """One fit+predict chain. With timed=False the four stages queue
