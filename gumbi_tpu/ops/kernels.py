@@ -23,14 +23,17 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-# Opt-in Pallas fast path for RBF Gram assembly (fused tiles, split-bf16
-# MXU matmul). Enabled via GUMBI_TPU_PALLAS=1 or enable_pallas(); only takes
-# effect on a TPU backend.
-_PALLAS_ENABLED = os.environ.get("GUMBI_TPU_PALLAS", "0") == "1"
+# Pallas fast path for RBF Gram assembly (fused tiles, exact f32 elementwise
+# distances — see ops/pallas_kernels.py). Since round 4 the kernel is exact,
+# so it defaults ON whenever running on a TPU backend; GUMBI_TPU_PALLAS=0
+# disables, =1 forces (interpret mode off-TPU), or use enable_pallas().
+_PALLAS_ENABLED: "bool | None" = {"0": False, "1": True}.get(
+    os.environ.get("GUMBI_TPU_PALLAS", "auto")
+)
 
 
 def enable_pallas(on: bool = True):
-    """Toggle the Pallas RBF Gram fast path (TPU only).
+    """Toggle the Pallas RBF Gram fast path (default: auto — on under TPU).
 
     The flag is read at TRACE time, so already-compiled programs (module-
     level jits for mll/posterior/fit) would silently keep their old Gram
@@ -38,16 +41,17 @@ def enable_pallas(on: bool = True):
     effect for subsequent calls at the cost of recompiles.
     """
     global _PALLAS_ENABLED
-    if on != _PALLAS_ENABLED:
-        _PALLAS_ENABLED = on
+    was = _pallas_active()
+    _PALLAS_ENABLED = on
+    if was != _pallas_active():
         import jax
 
         jax.clear_caches()
 
 
 def _pallas_active() -> bool:
-    if not _PALLAS_ENABLED:
-        return False
+    if _PALLAS_ENABLED is not None:
+        return _PALLAS_ENABLED
     import jax
 
     return jax.default_backend() == "tpu"
@@ -217,7 +221,9 @@ def _term_cont(spec: GPSpec, term: GPTerm, params, xc1, xc2):
         u2 = _warp_periodic(xc2, spec.period)
         ls2 = jnp.concatenate([ls, ls])
         K = η**2 * _stationary(base, _scaled_sqdist(u1, u2, ls2))
-    elif kernel in ("ExpQuad", "RBF") and _pallas_active():
+    elif kernel in ("ExpQuad", "RBF") and xc1.dtype == jnp.float32 and _pallas_active():
+        # f32-only: f64 runs (x64 parity paths) keep the XLA Gram, whose
+        # dtype-generic arithmetic is what f64 exactness is measured against.
         from .pallas_kernels import rbf_gram
 
         K = rbf_gram(xc1, xc2, ls, η)  # η² folded into the fused kernel

@@ -1,19 +1,35 @@
 """Pallas TPU kernels for the GP hot paths.
 
-``rbf_gram``: fused tiled RBF Gram assembly. One kernel computes
-scaled squared distances and the exponential per (bm, bn) tile entirely in
-VMEM, writing K to HBM exactly once — no N×N intermediate round-trips. The
-distance cross-term runs on the MXU via a split-bfloat16 product
-(hi/lo decomposition, 3 passes ≈ f32 accuracy at ~2× the rate of the 6-pass
-f32 path). A custom VJP recomputes nothing: the saved output K and a handful
-of XLA matmuls give exact cotangents for inputs, lengthscales, and amplitude.
+``rbf_gram``: fused tiled RBF Gram assembly. One kernel computes EXACT f32
+scaled squared distances (elementwise over the small coordinate dimension —
+no matmul-identity cancellation, no bf16 quantization) and the exponential
+per (bm, bn) tile entirely in VMEM, writing K to HBM exactly once — no N×N
+intermediate round-trips. Default-ON under TPU since round 4: the r2/r3
+split-bf16 variant shifted the composed MLL by 155 nats at N=5120 and
+shipped opt-in; the exact form matches the XLA HIGHEST path. A custom VJP
+recomputes nothing: the saved output K and a handful of XLA matmuls give
+exact cotangents for inputs, lengthscales, and amplitude.
+
+``fused_stationary_matvec``: the iterative (mBCG) engine's roofline unit —
+K @ V without EVER materializing K to HBM. Each (bm, bn) Gram tile is built
+in VMEM from EXACT f32 elementwise squared distances (no matmul-identity
+cancellation, no bf16 quantization of coordinates), pushed through the
+stationary kernel on the VPU, and immediately consumed by the MXU against
+the co-resident V block via the same 3-pass hi/lo split; the (bm, R) output
+block accumulates in VMEM across the inner grid axis. Tile time is flat in
+R up to the 128-lane MXU width (probe: 17.5 ms at R=9 → 16.4 ms at R=65 for
+N=50k on v5e), so wide probe blocks are free — 2.8× the materialize-then-GEMM
+XLA path at equal accuracy (rel err 4.5e-6 vs an f64 oracle; XLA HIGHEST is
+2.2e-6). Measurements: benchmarks/probe_fused_matvec.py.
 
 Use is gated: the engine falls back to plain XLA (gumbi_tpu/ops/kernels.py)
-on CPU, for non-RBF kernels, or when tile alignment does not pay off.
+on CPU, for non-stationary/composite kernels, or when tile alignment does
+not pay off.
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -21,7 +37,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["rbf_gram", "pallas_available"]
+__all__ = [
+    "rbf_gram",
+    "pallas_available",
+    "fused_stationary_matvec",
+    "fused_matvec_active",
+    "FUSABLE_KERNELS",
+]
 
 
 def pallas_available() -> bool:
@@ -36,45 +58,38 @@ def _ceil_to(x, m):
     return (x + m - 1) // m * m
 
 
-def _rbf_kernel_body(a_ref, b_ref, eta2_ref, out_ref):
+def _rbf_kernel_body(a_ref, b_ref, eta2_ref, out_ref, *, d):
     """One (bm, bn) tile: K = η²·exp(-0.5·‖a_i − b_j‖²), inputs pre-scaled by ls.
 
-    The cross term a·bᵀ uses a hi/lo bfloat16 split: a = hi(a) + lo(a) with
-    hi = bf16(a); three bf16 MXU passes recover ~f32 accuracy.
+    Distances are EXACT f32: an elementwise loop over the (static, small)
+    coordinate dimension on the VPU — no a·bᵀ matmul-identity cancellation,
+    no bf16 quantization. (The r2/r3 split-bf16 cross-term shifted the
+    composed MLL by 155 nats at N=5120, which kept the kernel opt-in; the
+    exact form matches the XLA HIGHEST path to f32 rounding and ships
+    default-on. For the small d of a GP's continuous dims the elementwise
+    loop is also *cheaper* than the tile matmul it replaced.)
     """
-    a = a_ref[:]  # (bm, d)
-    b = b_ref[:]  # (bn, d)
-
-    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
-    a_lo = a - a_hi
-    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
-    b_lo = b - b_hi
-
-    def mm(x, y):
-        return jax.lax.dot_general(
-            x,
-            y,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    cross = mm(a_hi, b_hi) + mm(a_hi, b_lo) + mm(a_lo, b_hi)
-
-    a2 = jnp.sum(a * a, axis=1, keepdims=True)  # (bm, 1)
-    b2 = jnp.sum(b * b, axis=1, keepdims=True).T  # (1, bn)
-    sq = jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
+    a = a_ref[:]  # (bm, d_pad)
+    b = b_ref[:]  # (bn, d_pad)
+    sq = jnp.zeros((a.shape[0], b.shape[0]), jnp.float32)
+    for k in range(d):
+        diff = a[:, k : k + 1] - b[:, k : k + 1].T
+        sq = sq + diff * diff
     out_ref[:] = eta2_ref[0, 0] * jnp.exp(-0.5 * sq)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())
 def rbf_gram(x1, x2, ls, eta):
-    """η²·exp(−½ Σ_d ((x1−x2)/ls)²) as a fused Pallas kernel (f32)."""
+    """η²·exp(−½ Σ_d ((x1−x2)/ls)²) as a fused Pallas kernel (f32, exact)."""
     return _rbf_gram_fwd_impl(x1, x2, ls, eta)
 
 
-def _rbf_gram_fwd_impl(x1, x2, ls, eta):
+def _rbf_gram_fwd_impl(x1, x2, ls, eta, interpret=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     n, d = x1.shape
     m = x2.shape[0]
@@ -84,31 +99,33 @@ def _rbf_gram_fwd_impl(x1, x2, ls, eta):
     d_pad = _ceil_to(d, 128)
 
     ls_b = jnp.broadcast_to(ls, (d,)).astype(jnp.float32)
-    # Pre-scale and pad with a sentinel far point so padded rows can't create
-    # spurious correlations (they're sliced away anyway).
     a = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(x1.astype(jnp.float32) / ls_b)
     b = jnp.zeros((m_pad, d_pad), jnp.float32).at[:m, :d].set(x2.astype(jnp.float32) / ls_b)
     eta2 = jnp.asarray(eta, jnp.float32).reshape(1, 1) ** 2
 
     grid = (n_pad // bm, m_pad // bn)
-    out = pl.pallas_call(
-        _rbf_kernel_body,
-        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((bm, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bn, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * m_pad * d_pad + 4 * n_pad * m_pad,
-            bytes_accessed=4 * (n_pad * d_pad + m_pad * d_pad + n_pad * m_pad),
-            transcendentals=n_pad * m_pad,
-        ),
-    )(a, b, eta2)
+    # Traced in a 32-bit scope: under the library's x64 default, Pallas index
+    # maps emit i64 constants Mosaic cannot legalize (operands are all f32).
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            partial(_rbf_kernel_body, d=d),
+            out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
+            grid_spec=pl.GridSpec(
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((bm, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bn, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * n_pad * m_pad * d + 2 * n_pad * m_pad,
+                bytes_accessed=4 * (n_pad * d_pad + m_pad * d_pad + n_pad * m_pad),
+                transcendentals=n_pad * m_pad,
+            ),
+            interpret=interpret,
+        )(a, b, eta2)
     return out[:n, :m].astype(x1.dtype)
 
 
@@ -158,3 +175,160 @@ def _rbf_gram_bwd(res, gbar):
 
 
 rbf_gram.defvjp(_rbf_gram_fwd, _rbf_gram_bwd)
+
+
+# ------------------------------------------------------------------
+# Fused Gram-matvec for the iterative engine
+# ------------------------------------------------------------------
+
+# Stationary kernels the fused matvec supports (everything ops.kernels
+# evaluates from a scaled squared distance alone).
+FUSABLE_KERNELS = (
+    "ExpQuad",
+    "RBF",
+    "Matern12",
+    "Matern32",
+    "Matern52",
+    "Exponential",
+)
+
+
+def fused_matvec_active() -> bool:
+    """Whether the iterative engine routes matvecs through the Pallas kernel.
+
+    Default: on exactly when running on a TPU backend (the kernel is exact —
+    f32 elementwise distances — so unlike the bf16-distance ``rbf_gram`` of
+    earlier rounds there is no precision trade to opt into). Env override
+    ``GUMBI_TPU_FUSED_MATVEC``: ``0`` disables, ``1`` forces it on any
+    backend (interpret mode off-TPU; used by the CPU test suite).
+    """
+    flag = os.environ.get("GUMBI_TPU_FUSED_MATVEC", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return pallas_available()
+
+
+def _fused_matvec_body(a_ref, b_ref, v_ref, out_ref, *, d, kernel, passes):
+    """One (bm, bn) tile of K(kernel) @ V, accumulated over the inner axis.
+
+    Distances are exact f32: an elementwise loop over the (static, small)
+    coordinate dimension — no a·bᵀ cancellation, no coordinate quantization.
+    Only the tile@V product is split to bf16 for the MXU (3 passes ≈ f32).
+    """
+    from jax.experimental import pallas as pl
+
+    from .kernels import _stationary
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    a = a_ref[:]  # (bm, d_pad), pre-scaled by 1/ls
+    b = b_ref[:]  # (bn, d_pad)
+    sq = jnp.zeros((a.shape[0], b.shape[0]), jnp.float32)
+    for k in range(d):
+        diff = a[:, k : k + 1] - b[:, k : k + 1].T
+        sq = sq + diff * diff
+    kt = _stationary(kernel, sq)
+
+    v = v_ref[:]
+    # precision is pinned to DEFAULT: the library globally defaults matmuls
+    # to HIGHEST (__init__.py), which would silently turn each pass of the
+    # hi/lo split into a multi-pass product (measured 4× slower at equal
+    # accuracy — the split already recovers f32).
+    mm = partial(
+        jax.lax.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    if passes == 1:
+        acc = mm(kt.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
+    elif passes == 3:
+        k_hi = kt.astype(jnp.bfloat16).astype(jnp.float32)
+        k_lo = kt - k_hi
+        v_hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+        v_lo = v - v_hi
+        acc = mm(k_hi, v_hi) + mm(k_hi, v_lo) + mm(k_lo, v_hi)
+    else:
+        acc = jax.lax.dot(
+            kt, v, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out_ref[:] += acc
+
+
+def fused_stationary_matvec(
+    x1, x2, v, ls, kernel="ExpQuad", *, bm=1024, bn=1024, passes=3, interpret=None
+):
+    """``K @ v`` for a unit-amplitude stationary kernel, K never leaving VMEM.
+
+    K_ij = k(‖(x1_i − x2_j)/ls‖²) with ``k`` one of :data:`FUSABLE_KERNELS`
+    (η² is the caller's to apply — it commutes with the product). ``x1``
+    (n, d) and ``x2`` (m, d) are raw z-space coordinates; ``v`` is (m, r).
+    Shapes need no alignment — inputs are zero-padded to tile multiples, and
+    zero-padded ``x2`` rows are annihilated by their zero ``v`` rows (padded
+    output rows are sliced away).
+
+    Probe-selected defaults (benchmarks/probe_fused_matvec.py, v5e): 1024²
+    tiles, 3-pass hi/lo bf16 MXU product. ``interpret=None`` auto-selects
+    Pallas interpret mode off-TPU so the same function is testable on CPU.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n, d = x1.shape
+    m = x2.shape[0]
+    r = v.shape[1]
+    ls_b = jnp.broadcast_to(ls, (d,)).astype(jnp.float32)
+    a = x1.astype(jnp.float32) / ls_b
+    b = x2.astype(jnp.float32) / ls_b
+
+    bm = min(bm, _ceil_to(max(n, 8), 128))
+    bn = min(bn, _ceil_to(max(m, 8), 128))
+    n_pad = _ceil_to(max(n, 8), bm)
+    m_pad = _ceil_to(max(m, 8), bn)
+    d_pad = _ceil_to(d, 128)
+    r_pad = _ceil_to(max(r, 1), 128)
+
+    ap = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(a)
+    bp = jnp.zeros((m_pad, d_pad), jnp.float32).at[:m, :d].set(b)
+    vp = jnp.zeros((m_pad, r_pad), jnp.float32).at[:m, :r].set(v.astype(jnp.float32))
+
+    grid = (n_pad // bm, m_pad // bn)
+    # The library runs with x64 enabled by default (__init__.py); Pallas index
+    # maps traced under x64 emit i64 constants Mosaic cannot legalize, so the
+    # kernel (whose operands are all explicitly f32) is traced in a 32-bit
+    # scope.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            partial(_fused_matvec_body, d=d, kernel=kernel, passes=passes),
+            out_shape=jax.ShapeDtypeStruct((n_pad, r_pad), jnp.float32),
+            grid_spec=pl.GridSpec(
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((bm, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bn, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bn, r_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (bm, r_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n_pad * m_pad * (d + 3 * r_pad),
+                bytes_accessed=4
+                * (n_pad * d_pad + (m_pad * d_pad + m_pad * r_pad) * grid[0] + n_pad * r_pad),
+                transcendentals=n_pad * m_pad,
+            ),
+            # The tile chain (sq, k, hi/lo splits, double-buffered operands)
+            # peaks above Mosaic's conservative 16M default scoped budget at
+            # 1024² tiles; v5e has 128M physical VMEM.
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(ap, bp, vp)
+    return out[:n, :r].astype(v.dtype)
