@@ -72,7 +72,7 @@ from jax.sharding import Mesh  # noqa: E402
 from gumbi_tpu.ops import GPSpec, GPTerm, initial_params, ls_prior_params  # noqa: E402
 from gumbi_tpu.ops.optimize import lbfgs_backtracking_minimize  # noqa: E402
 from gumbi_tpu.ops.priors import constrain, log_prior  # noqa: E402
-from gumbi_tpu.ops.mll import map_neg_logp  # noqa: E402
+from gumbi_tpu.ops.mll import map_neg_logp, map_neg_logp_blocked  # noqa: E402
 from gumbi_tpu.parallel.sharded import sharded_gram_mll  # noqa: E402
 
 N_RESTARTS = int(os.environ.get("BENCH_RESTARTS", 8))
@@ -140,12 +140,25 @@ def main():
         # internal-consistency accuracy (quad/logdet vs a numpy f64 oracle at
         # a subsampled size is covered by tests/test_parity.py; here the
         # check is finiteness + grad norms).
+        # BENCH_BLOCKED_BWD: 1 → panel-wise backward (ops/mll.py
+        # map_neg_logp_blocked — the backward never holds an (N, N)
+        # cotangent, so f64 value+grad fits on one chip at N ≥ 8,192 where
+        # the dense VJP OOMs at 20.5 GB); 0 → dense VJP; auto → blocked
+        # exactly for the single-device f64-at-scale demonstration.
+        _blk = os.environ.get("BENCH_BLOCKED_BWD", "auto")
+        use_blocked = (
+            _blk == "1"
+            or (_blk == "auto" and n_dev == 1 and _dtype_name == "float64" and N >= 8192)
+        )
         if n_dev > 1:
             def objective(u):
                 params = constrain(u)
                 logp = sharded_gram_mll(mesh, spec, params, xc, xk, yj)
                 total = logp + log_prior(spec, u, la, lb)
                 return jnp.where(jnp.isfinite(total), -total, jnp.inf)
+        elif use_blocked:
+            def objective(u):
+                return map_neg_logp_blocked(spec, u, xc, xk, yj, la, lb)
         else:
             def objective(u):
                 return map_neg_logp(spec, u, xc, xk, yj, la, lb)
@@ -196,6 +209,7 @@ def main():
                     "dtype": _dtype_name,
                     "compile_s": round(compile_s, 1),
                     "neg_logp": round(v, 3),
+                    "blocked_bwd": bool(use_blocked),
                 }
             )
         )

@@ -120,6 +120,32 @@ def draw_probes(seed: int, n: int, cfg: IterConfig, dtype=jnp.float32):
 # ------------------------------------------------------------------
 
 
+def _fused_term(spec):
+    """The single stationary term eligible for the fused Pallas matvec, or None.
+
+    Eligible = exactly one additive term, a pure stationary kernel (no linear
+    component, no coregionalization factors). Masking is NOT a restriction:
+    (m mᵀ ∘ K) V = m ∘ (K (m ∘ V)) lets the caller fold the mask outside the
+    kernel exactly.
+    """
+    if len(spec.terms) != 1:
+        return None
+    t = spec.terms[0]
+    from .pallas_kernels import FUSABLE_KERNELS
+
+    if t.kernel in FUSABLE_KERNELS and not t.linear_idx and not t.coregs:
+        return t
+    return None
+
+
+def _fused_matvec_args(spec, params, term):
+    """(ls, η²) for the fused kernel from the parameter dict."""
+    ls = params[f"ls_{term.suffix}"]
+    if not spec.ard:
+        ls = jnp.broadcast_to(ls, (spec.d_cont,))
+    return ls, params[f"η_{term.suffix}"] ** 2
+
+
 def _masked_gram(spec, params, xc, xk, mask):
     K = gram(spec, params, xc, xk, xc, xk)
     if mask is not None:
@@ -139,8 +165,29 @@ def _noise_vec(spec, params, xk, jitter, mask, noise_mult, dtype):
 
 
 def _make_matvec(spec, cfg, params, xc, xk, d, mask):
-    """A·V for A = K_masked + diag(d), dense or matrix-free row blocks."""
+    """A·V for A = K_masked + diag(d): fused Pallas kernel (TPU, stationary
+    single-term specs), dense, or matrix-free XLA row blocks."""
     n = xc.shape[0]
+    if cfg.block > 0:
+        from .pallas_kernels import fused_matvec_active, fused_stationary_matvec
+
+        term = _fused_term(spec)
+        # f32-only: the kernel computes in f32; an f64 run (x64 parity paths)
+        # must keep the XLA matvec rather than silently lose precision.
+        if term is not None and xc.dtype == jnp.float32 and fused_matvec_active():
+            # Gram tiles are built and consumed inside VMEM — K never touches
+            # HBM (ops/pallas_kernels.py; 2.7× the XLA blocked path at 50k).
+            ls, eta2 = _fused_matvec_args(spec, params, term)
+
+            def matvec(V):
+                Vm = V * mask[:, None] if mask is not None else V
+                out = eta2 * fused_stationary_matvec(xc, xc, Vm, ls, term.kernel)
+                if mask is not None:
+                    out = out * mask[:, None]
+                return out + d[:, None] * V
+
+            return matvec
+
     if cfg.block <= 0:
         Kn = _masked_gram(spec, params, xc, xk, mask)
 
@@ -620,6 +667,31 @@ def iter_predict_diag(
         psolve, _ = _make_precond(L, d)
     else:
         psolve = None
+
+    from .pallas_kernels import fused_matvec_active, fused_stationary_matvec
+
+    term = _fused_term(spec)
+    if (
+        term is not None
+        and alpha.dtype == jnp.float32
+        and fused_matvec_active()
+        and W_love is not None
+    ):
+        # One fused cross-Gram matvec against [α | W_love]: K(*,X) never
+        # materializes, the chunk loop disappears.
+        ls, eta2 = _fused_matvec_args(spec, params, term)
+        am = alpha * mask if mask is not None else alpha
+        Wm = W_love * mask[:, None] if mask is not None else W_love
+        V = jnp.concatenate([am[:, None], Wm], axis=1)
+        out = eta2 * fused_stationary_matvec(xc_star, xc, V, ls, term.kernel)
+        mean = out[:, 0]
+        qform = jnp.sum(out[:, 1:] * out[:, 1:], axis=1)
+        kd = gram_diag(spec, params, xc_star, xk_star)
+        var = jnp.maximum(kd - qform, 0.0)
+        if with_noise:
+            var = var + noise_diag(spec, params, xk_star, n=xc_star.shape[0], dtype=alpha.dtype)
+        return mean, var
+
     m = xc_star.shape[0]
     pad = (-m) % chunk
     xcp = jnp.concatenate([xc_star, jnp.zeros((pad,) + xc_star.shape[1:], xc_star.dtype)])
@@ -689,6 +761,14 @@ def iter_predict_mean(
     alpha = X[:, 0]
     if mask is not None:
         alpha = alpha * mask
+
+    from .pallas_kernels import fused_matvec_active, fused_stationary_matvec
+
+    term = _fused_term(spec)
+    if term is not None and alpha.dtype == jnp.float32 and fused_matvec_active():
+        ls, eta2 = _fused_matvec_args(spec, params, term)
+        out = eta2 * fused_stationary_matvec(xc_star, xc, alpha[:, None], ls, term.kernel)
+        return out[:, 0]
 
     m = xc_star.shape[0]
     if m <= star_block:

@@ -21,7 +21,9 @@ from .priors import constrain
 
 __all__ = [
     "lbfgs_minimize",
+    "lbfgs_host_minimize",
     "multi_restart_minimize",
+    "multi_restart_minimize_hostloop",
     "fit_gp_map",
     "fit_kron_map",
     "fit_laplace_map",
@@ -142,6 +144,110 @@ def lbfgs_backtracking_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16,
     return best_x, best_f, it
 
 
+def lbfgs_host_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16, max_backtracking=20):
+    """L-BFGS with the loop on the HOST: each device program is ONE evaluation.
+
+    Same algorithm as :func:`lbfgs_backtracking_minimize` (two-loop-recursion
+    direction, Armijo backtracking, best-finite-iterate return, relative-
+    decrease stop) but direction/memory/line-search bookkeeping runs in host
+    numpy (f64) and the device only ever executes a jitted value+grad or a
+    jitted value. This exists for the large-N polish stage of the iterative
+    engine: there a single objective evaluation at an ill-conditioned start
+    runs 30-250 s on-device (mBCG at maxiter), and a compiled L-BFGS step —
+    one value+grad plus up to ``max_backtracking`` trial values inside ONE
+    uninterruptible XLA program — exceeds what the remote TPU service will
+    run (measured: a single value+grad passes at 252 s, the one-iteration
+    L-BFGS program crashes the worker; bisect in docs/perf.md decision 14).
+    Per-dispatch overhead is milliseconds against multi-second evaluations,
+    so steady cost matches the compiled loop. Must be called OUTSIDE jit.
+
+    Returns ``(x_best, f_best, n_iters)`` exactly like the compiled variant.
+    """
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(x0)
+    shapes = [leaf.shape for leaf in leaves]
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+    dtypes = [leaf.dtype for leaf in leaves]
+
+    def pack(tree):
+        ls = jax.tree_util.tree_leaves(tree)
+        return np.concatenate([np.asarray(l, np.float64).ravel() for l in ls])
+
+    def unpack(vec):
+        out, o = [], 0
+        for s, sz, dt in zip(shapes, sizes, dtypes):
+            out.append(jnp.asarray(vec[o : o + sz].reshape(s), dt))
+            o += sz
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    vg_dev = jax.jit(jax.value_and_grad(fun))
+    v_dev = jax.jit(fun)
+
+    def vg(vec):
+        v, gtree = vg_dev(unpack(vec))
+        return float(v), pack(gtree)
+
+    x = pack(x0)
+    f, g = vg(x)
+    best_x, best_f = x.copy(), f if np.isfinite(f) else np.inf
+    mem_s, mem_y, mem_rho = [], [], []
+    n_iters = 0
+    f_prev = np.inf
+
+    for _ in range(maxiter):
+        if not np.isfinite(f):
+            break
+        # two-loop recursion
+        q = g.copy()
+        alphas = []
+        for s, y_, rho in zip(reversed(mem_s), reversed(mem_y), reversed(mem_rho)):
+            a = rho * (s @ q)
+            alphas.append(a)
+            q -= a * y_
+        if mem_s:
+            ys = mem_y[-1] @ mem_s[-1]
+            yy = mem_y[-1] @ mem_y[-1]
+            q *= ys / yy if yy > 0 else 1.0
+        for (s, y_, rho), a in zip(zip(mem_s, mem_y, mem_rho), reversed(alphas)):
+            q += (a - rho * (y_ @ q)) * s
+        p = -q
+        gTp = g @ p
+        if not np.isfinite(gTp) or gTp >= 0:  # not a descent direction: restart
+            p, gTp = -g, -(g @ g)
+
+        # Armijo backtracking (value-only trials, like the compiled variant)
+        step, f_new, x_new = 1.0, np.inf, x
+        for _bt in range(max_backtracking):
+            x_try = x + step * p
+            f_try = float(v_dev(unpack(x_try)))
+            if np.isfinite(f_try) and f_try <= f + 1e-4 * step * gTp:
+                f_new, x_new = f_try, x_try
+                break
+            step *= 0.5
+        n_iters += 1
+        if not np.isfinite(f_new):  # line search failed everywhere
+            break
+        _, g_new = vg(x_new)
+        s_vec, y_vec = x_new - x, g_new - g
+        sy = s_vec @ y_vec
+        if np.isfinite(sy) and sy > 1e-10:
+            mem_s.append(s_vec)
+            mem_y.append(y_vec)
+            mem_rho.append(1.0 / sy)
+            if len(mem_s) > memory_size:
+                mem_s.pop(0)
+                mem_y.pop(0)
+                mem_rho.pop(0)
+        x, f_prev, f, g = x_new, f, f_new, g_new
+        if f < best_f:
+            best_x, best_f = x.copy(), f
+        if abs(f_prev - f) < ftol * (1.0 + abs(f)):
+            break
+
+    return unpack(best_x), jnp.asarray(best_f), jnp.asarray(n_iters)
+
+
 def lbfgs_scan_minimize(fun, x0, maxiter=100, memory_size=16, max_backtracking=20):
     """Fixed-iteration L-BFGS with backtracking line search (scan-based).
 
@@ -247,6 +353,42 @@ def multi_restart_minimize(fun, x0s, maxiter=250, tol=1e-6, chunk=None, mode=Non
     best = jnp.argmin(fs_safe)
     x_best = jax.tree_util.tree_map(lambda leaf: leaf[best], xs)
     return x_best, fs_safe[best], {"all_values": fs, "iters": its, "best_restart": best}
+
+
+def multi_restart_minimize_hostloop(fun, x0s, maxiter=250, tol=1e-6):
+    """Multi-restart L-BFGS as R async dispatches of ONE single-restart program.
+
+    Same optimizer, same restarts, same argmin semantics as
+    :func:`multi_restart_minimize` — but the compiled program contains a
+    single L-BFGS chain instead of a vmap/lax.map over all R. On the remote
+    TPU service the big batched program is re-processed for 86-391 s per
+    fresh process even on a jax-cache hit (and the vmapped L-BFGS Cholesky
+    program has wedged the axon compiler outright — measured, docs/perf.md
+    §9 / bench.py COARSE_MODE); the single-restart program loads in ~2 s and
+    the R dispatches pipeline asynchronously, so steady cost is within noise
+    of the batched form. Must be called OUTSIDE jit (the host loop would
+    unroll under trace) — it is the driver for host-level fit entry points,
+    not for use inside compiled objectives.
+    """
+    R = jax.tree_util.tree_leaves(x0s)[0].shape[0]
+    runner = jax.jit(
+        lambda x0: lbfgs_backtracking_minimize(fun, x0, maxiter=maxiter, ftol=tol)
+    )
+    outs = [
+        runner(jax.tree_util.tree_map(lambda leaf: leaf[i], x0s)) for i in range(R)
+    ]
+    xs = jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *[o[0] for o in outs])
+    fs = jnp.stack([o[1] for o in outs])
+    its = jnp.stack([o[2] for o in outs])
+
+    @jax.jit
+    def select(xs, fs, its):
+        fs_safe = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+        best = jnp.argmin(fs_safe)
+        x_best = jax.tree_util.tree_map(lambda leaf: leaf[best], xs)
+        return x_best, fs_safe[best], {"all_values": fs, "iters": its, "best_restart": best}
+
+    return select(xs, fs, its)
 
 
 @partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter", "tol"))

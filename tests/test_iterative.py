@@ -371,3 +371,153 @@ def test_gp_model_iterative_engine_guards():
     gp2.build_model()
     with pytest.raises(ValueError):
         gp2.find_MAP(engine="bogus")
+
+
+# ------------------------------------------------------------------
+# Fused Pallas matvec (interpret mode on CPU; compiled on TPU)
+# ------------------------------------------------------------------
+
+
+@pytest.fixture
+def fused_on(monkeypatch):
+    """Force the fused Pallas matvec on (interpret mode off-TPU)."""
+    monkeypatch.setenv("GUMBI_TPU_FUSED_MATVEC", "1")
+
+
+def test_fused_matvec_matches_xla(fused_on):
+    from gumbi_tpu.ops.iterative import _fused_term
+
+    spec, params, _, xc, xk, y = _problem(n=100, dtype=jnp.float32)
+    assert _fused_term(spec) is not None
+    params = {k: v.astype(jnp.float32) for k, v in params.items()}
+    cfg = IterConfig(block=50)
+    d = _noise_vec(spec, params, xk, cfg.jitter, None, None, jnp.float32)
+    V = jnp.asarray(
+        np.random.default_rng(3).standard_normal((100, 4)), dtype=jnp.float32
+    )
+    got = _make_matvec(spec, cfg, params, xc, xk, d, None)(V)
+    import os
+
+    os.environ["GUMBI_TPU_FUSED_MATVEC"] = "0"
+    ref = _make_matvec(spec, cfg, params, xc, xk, d, None)(V)
+    assert np.allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_matvec_masked_matches_xla(fused_on):
+    spec, params, _, xc, xk, y = _problem(n=96, dtype=jnp.float32)
+    params = {k: v.astype(jnp.float32) for k, v in params.items()}
+    mask = jnp.asarray((np.arange(96) < 80).astype(np.float32))
+    cfg = IterConfig(block=48)
+    d = _noise_vec(spec, params, xk, cfg.jitter, mask, None, jnp.float32)
+    V = jnp.asarray(
+        np.random.default_rng(4).standard_normal((96, 3)), dtype=jnp.float32
+    )
+    got = _make_matvec(spec, cfg, params, xc, xk, d, mask)(V)
+    import os
+
+    os.environ["GUMBI_TPU_FUSED_MATVEC"] = "0"
+    ref = _make_matvec(spec, cfg, params, xc, xk, d, mask)(V)
+    assert np.allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_matvec_matern_and_f64_guard(fused_on):
+    """Matérn specs fuse; f64 inputs must keep the XLA path exactly."""
+    from gumbi_tpu.ops.iterative import _fused_term
+
+    rng = np.random.default_rng(5)
+    spec = GPSpec(terms=(GPTerm(suffix="total", kernel="Matern52"),), d_cont=2)
+    assert _fused_term(spec) is not None
+    xc32 = jnp.asarray(rng.uniform(-2, 2, (64, 2)), jnp.float32)
+    xk = jnp.zeros((64, 0), jnp.int32)
+    params = {
+        "ls_total": jnp.asarray([0.7, 0.9], jnp.float32),
+        "η_total": jnp.asarray(1.2, jnp.float32),
+        "σ": jnp.asarray(0.2, jnp.float32),
+    }
+    cfg = IterConfig(block=32)
+    d = _noise_vec(spec, params, xk, cfg.jitter, None, None, jnp.float32)
+    V = jnp.asarray(rng.standard_normal((64, 2)), jnp.float32)
+    got = _make_matvec(spec, cfg, params, xc32, xk, d, None)(V)
+    K = np.asarray(gram(spec, params, xc32, xk, xc32, xk))
+    ref = K @ np.asarray(V) + np.asarray(d)[:, None] * np.asarray(V)
+    assert np.allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+    # f64: the fused (f32) kernel must NOT be used — result matches the f64
+    # XLA matvec to f64 precision.
+    xc64 = xc32.astype(jnp.float64)
+    params64 = {k: v.astype(jnp.float64) for k, v in params.items()}
+    d64 = _noise_vec(spec, params64, xk, cfg.jitter, None, None, jnp.float64)
+    V64 = V.astype(jnp.float64)
+    got64 = _make_matvec(spec, cfg, params64, xc64, xk, d64, None)(V64)
+    K64 = np.asarray(gram(spec, params64, xc64, xk, xc64, xk))
+    ref64 = K64 @ np.asarray(V64) + np.asarray(d64)[:, None] * np.asarray(V64)
+    assert np.allclose(np.asarray(got64), ref64, rtol=1e-12, atol=1e-12)
+
+
+def test_fused_predict_paths_match_xla(fused_on):
+    spec, params, _, xc, xk, y = _problem(n=90, dtype=jnp.float32)
+    params = {k: v.astype(jnp.float32) for k, v in params.items()}
+    cfg = IterConfig(block=45, maxiter=300, tol=1e-10, precond_rank=16, love_rank=90)
+    cache = iter_posterior_cache(spec, cfg, params, xc, xk, y)
+    xs = jnp.asarray(
+        np.random.default_rng(6).uniform(-2, 2, (37, 2)), dtype=jnp.float32
+    )
+    xks = jnp.zeros((37, 0), jnp.int32)
+    mu_f, var_f = iter_predict_diag(spec, cfg, params, cache, xc, xk, xs, xks)
+    mean_f = iter_predict_mean(spec, cfg, params, xc, xk, y, xs, xks)
+    import os
+
+    os.environ["GUMBI_TPU_FUSED_MATVEC"] = "0"
+    cache0 = iter_posterior_cache(spec, cfg, params, xc, xk, y)
+    mu_x, var_x = iter_predict_diag(spec, cfg, params, cache0, xc, xk, xs, xks)
+    mean_x = iter_predict_mean(spec, cfg, params, xc, xk, y, xs, xks)
+    assert np.allclose(np.asarray(mu_f), np.asarray(mu_x), rtol=1e-3, atol=1e-4)
+    assert np.allclose(np.asarray(var_f), np.asarray(var_x), rtol=1e-2, atol=1e-4)
+    assert np.allclose(np.asarray(mean_f), np.asarray(mean_x), rtol=1e-3, atol=1e-4)
+
+
+def test_gp_model_iterative_staged_fit():
+    """coarse_n forces the coarse-to-fine campaign: Cholesky restart triage
+    on a subsample, single full-N iterative polish — same basin as the
+    all-restart iterative fit."""
+    import gumbi_tpu as gmb
+
+    rng = np.random.default_rng(0)
+    n = 240
+    x = rng.uniform(1, 4, n)
+    y = np.exp(0.3 * np.sin(2.0 * x) + 0.1 * rng.normal(size=n)) + 1.0
+    import pandas as pd
+
+    df = pd.DataFrame({"hp": x, "mpg": y})
+    ds = gmb.DataSet(df, outputs=["mpg"], log_vars=["mpg"])
+    cfg = IterConfig(block=0, maxiter=200, tol=1e-6, precond_rank=16, love_rank=80)
+
+    gp_s = gmb.GP(ds)
+    gp_s.specify_model(outputs=["mpg"], continuous_dims=["hp"])
+    gp_s.build_model()
+    gp_s.find_MAP(engine="iterative", n_restarts=4, coarse_n=120,
+                  polish_maxiter=60, iter_config=cfg)
+    assert "polish_iters" in gp_s._fit_aux
+
+    gp_f = gmb.GP(ds)
+    gp_f.specify_model(outputs=["mpg"], continuous_dims=["hp"])
+    gp_f.build_model()
+    gp_f.find_MAP(engine="iterative", n_restarts=4, iter_config=cfg)
+    assert "polish_iters" not in gp_f._fit_aux
+
+    # same basin: exact-objective scores within a nat of each other
+    from gumbi_tpu.ops.mll import map_neg_logp
+    from gumbi_tpu.ops.priors import unconstrain
+
+    la = jnp.asarray(gp_f._ls_alpha, gp_f._dtype)
+    lb = jnp.asarray(gp_f._ls_beta, gp_f._dtype)
+    f = lambda p: float(map_neg_logp(
+        gp_f._spec, unconstrain(p), gp_f._xc, gp_f._xk, gp_f._yz, la, lb))
+    assert abs(f(gp_s._params) - f(gp_f._params)) < 2.0
+
+    gp_s.prepare_grid(resolution=30)
+    pred_s = gp_s.predict_grid()
+    gp_f.prepare_grid(resolution=30)
+    pred_f = gp_f.predict_grid()
+    assert np.allclose(np.asarray(pred_s.μ, float), np.asarray(pred_f.μ, float),
+                       rtol=0.05, atol=0.05 * np.abs(np.asarray(pred_f.μ, float)).max())
