@@ -732,6 +732,8 @@ class GP(Regressor):
             return self._find_MAP_iterative(
                 iter_config, n_restarts=n_restarts, maxiter=maxiter, tol=tol,
                 seed=seed, mesh=mesh,
+                coarse_n=kwargs.pop("coarse_n", None),
+                polish_maxiter=kwargs.pop("polish_maxiter", None),
             )
 
         u0s = initial_params(
@@ -755,11 +757,23 @@ class GP(Regressor):
 
         if mesh is not None:
             if self.sparse:
-                raise NotImplementedError(
-                    "Mesh-sharded fitting is not implemented for the sparse FITC path "
-                    "(FITC exists to make one chip sufficient; use shard_data=True "
-                    "for exact large-N fits instead)."
+                # Restart-sharded FITC: the O(N·m²) evidence is a pure
+                # function of the hyperparameters, so the restart sweep —
+                # which dominates sparse fits — spreads over the mesh.
+                from ..parallel import sharded_fit_fitc_map
+
+                params, neg_logp, aux = sharded_fit_fitc_map(
+                    mesh, self._spec, self._xc, self._xk,
+                    self._xu_c, self._xu_k, self._yz,
+                    ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol,
+                    mask=self._mask,
                 )
+                self._cache = None
+                self._params = params
+                self._neg_logp = float(neg_logp)
+                self._fit_aux = {k: np.asarray(v) for k, v in aux.items()}
+                self.MAP = {k: np.asarray(v) for k, v in params.items()}
+                return self.MAP
             if self._structure == "Kronecker":
                 from ..ops.kronecker import kron_cache
                 from ..parallel import sharded_fit_kron_map
@@ -921,7 +935,10 @@ class GP(Regressor):
             )
         return self.MAP
 
-    def _find_MAP_iterative(self, iter_config, *, n_restarts, maxiter, tol, seed, mesh=None):
+    def _find_MAP_iterative(
+        self, iter_config, *, n_restarts, maxiter, tol, seed, mesh=None,
+        coarse_n=None, polish_maxiter=None,
+    ):
         """Dense-Hadamard MAP fit through the mBCG/SLQ engine.
 
         Data is bucket-padded (via the engine's exact identity-row masking)
@@ -931,6 +948,15 @@ class GP(Regressor):
         With a ``mesh`` the matvec row-blocks shard over the 'data' axis
         (:mod:`gumbi_tpu.parallel.iterative`); the posterior cache has the
         same contents either way, so prediction is path-independent.
+
+        Large-N fits stage coarse-to-fine: the restart sweep triages
+        hyperparameters on a ``coarse_n``-row subsample through the (cheap,
+        exact) Cholesky objective, and only the winner polishes at full N
+        through the iterative objective — full-N multi-restart would pay
+        ``n_restarts`` × the O(N²) matvec cost per optimizer step for basins
+        a 4k subsample separates equally well. Staging activates for
+        N > 16,384 or whenever ``coarse_n`` is given; ``polish_maxiter``
+        bounds the full-N polish (default 100).
         """
         from ..ops.iterative import (
             IterConfig, draw_probes, iter_map_neg_logp, iter_posterior_cache,
@@ -941,8 +967,15 @@ class GP(Regressor):
         n = int(self._xc.shape[0])
         if iter_config is None:
             # dense matvec while the (N, N) Gram fits comfortably; blocked
-            # streaming beyond that
-            iter_config = IterConfig(block=0 if n <= 16384 else 2048)
+            # streaming beyond that. LOVE rank scales to the data: at large N
+            # with data-dense regions the posterior variance needs the Lanczos
+            # factor to capture ~512 dominant directions (measured at
+            # N=16,384: rank 64 → 860× median over-estimate, rank 512 → 0.6%
+            # median error, plateau beyond — benchmarks/README.md).
+            iter_config = IterConfig(
+                block=0 if n <= 16384 else 2048,
+                love_rank=min(512, n),
+            )
         cfg = iter_config
 
         xc, xk, yz, mask = self._xc, self._xk, self._yz, self._mask
@@ -994,9 +1027,54 @@ class GP(Regressor):
                 pn, pk, cfg, mask=mask,
             )
 
-        u_best, neg_logp, aux = jax.jit(
-            lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
-        )(u0s)
+        staged = coarse_n is not None or n > 16384
+        if staged:
+            from ..ops.mll import map_neg_logp
+            from ..ops.optimize import (
+                lbfgs_host_minimize,
+                multi_restart_minimize_hostloop,
+            )
+
+            cn = min(int(coarse_n) if coarse_n else 4096, n)
+            rng = np.random.default_rng(seed)
+            if self._mask is not None:
+                real = np.flatnonzero(np.asarray(self._mask) > 0)
+            else:
+                real = np.arange(n)
+            idx = jnp.asarray(rng.choice(real, size=min(cn, real.size), replace=False))
+            xc_c, xk_c, y_c = self._xc[idx], self._xk[idx], self._yz[idx]
+
+            def coarse_obj(u):
+                return map_neg_logp(self._spec, u, xc_c, xk_c, y_c, ls_alpha, ls_beta)
+
+            # Host-loop restarts, NOT the vmapped program: on the remote TPU
+            # service the batched L-BFGS-of-Cholesky program is re-processed
+            # for minutes per fresh process (and has wedged the service
+            # outright — bench.py COARSE_MODE, docs/perf.md §9); one
+            # single-restart program + async dispatches is equivalent and
+            # loads in seconds.
+            u_start, _, aux_c = multi_restart_minimize_hostloop(
+                coarse_obj, u0s, maxiter=maxiter, tol=tol
+            )
+            pm_iter = int(polish_maxiter) if polish_maxiter else 100
+            # Host-driven polish: one jitted value/value+grad per dispatch.
+            # A compiled L-BFGS step (value+grad + backtracking trials in ONE
+            # program) runs minutes at an ill-conditioned full-N start and
+            # crashes the remote TPU worker; single evaluations pass
+            # (bisected — docs/perf.md decision 14).
+            u_best, neg_logp, polish_iters = lbfgs_host_minimize(
+                objective, u_start, maxiter=pm_iter, ftol=tol
+            )
+            aux = {
+                "all_values": aux_c["all_values"],
+                "iters": aux_c["iters"],
+                "best_restart": aux_c["best_restart"],
+                "polish_iters": polish_iters,
+            }
+        else:
+            u_best, neg_logp, aux = jax.jit(
+                lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+            )(u0s)
         params = constrain(u_best)
         self._params = params
         self._neg_logp = float(neg_logp)
@@ -1301,22 +1379,40 @@ class GP(Regressor):
         self,
         draws=500,
         tune=500,
-        chains=2,
+        chains=None,
         seed=None,
         n_leapfrog=32,
-        target_accept=0.8,
+        target_accept=None,
+        sampler="chees",
         **kwargs,
     ):
-        """Sample the hyperparameter posterior with adaptive HMC on device.
+        """Sample the hyperparameter posterior on device.
 
-        Replaces pm.sample (reference GP.py:815-835): dual-averaging step
-        size, Welford diagonal mass adaptation, chains vmapped in one XLA
-        program. Returns (and stores as :attr:`trace`) a dict of
-        natural-space arrays with leading (chains, draws) axes, plus
-        ``_stats`` with acceptance diagnostics.
+        Replaces pm.sample (reference GP.py:815-835). ``sampler`` picks the
+        kernel:
+
+        * ``'chees'`` (default) — ChEES-HMC: trajectory length LEARNED
+          during warmup (cross-chain criterion, halton jitter), step size by
+          dual averaging, diagonal mass by Welford. The accelerator-native
+          equivalent of the reference's NUTS — same knob-free adaptation,
+          but every chain runs the same-length trajectory in one fused XLA
+          program instead of NUTS's per-chain recursion (``ops/hmc.py``).
+          ``n_leapfrog`` is ignored; chains default to 16 (they batch on
+          the MXU nearly for free, and the criterion averages across them).
+        * ``'hmc'`` — fixed-trajectory adaptive HMC (``n_leapfrog`` steps);
+          chains default to 2.
+
+        Returns (and stores as :attr:`trace`) a dict of natural-space arrays
+        with leading (chains, draws) axes, plus ``_stats`` with acceptance
+        (and for ChEES, adapted step-size/trajectory) diagnostics.
         """
-        from ..ops.hmc import hmc_sample
+        from ..ops.hmc import chees_sample, hmc_sample
         from ..ops.priors import constrain, unconstrain
+
+        if sampler not in ("chees", "hmc"):
+            raise ValueError(f"sampler must be 'chees' or 'hmc', got {sampler!r}")
+        if chains is None:
+            chains = 16 if sampler == "chees" else 2
 
         assert self._spec is not None, "Call build_model first"
         if self._structure == "Independent":
@@ -1350,16 +1446,27 @@ class GP(Regressor):
             q0 = {k: v[0] for k, v in u0s.items()}
 
         key = jax.random.PRNGKey(seed)
-        usamples, stats = hmc_sample(
-            logp,
-            q0,
-            key,
-            draws=draws,
-            tune=tune,
-            chains=chains,
-            n_leapfrog=n_leapfrog,
-            target_accept=target_accept,
-        )
+        if sampler == "chees":
+            usamples, stats = chees_sample(
+                logp,
+                q0,
+                key,
+                draws=draws,
+                tune=tune,
+                chains=chains,
+                target_accept=0.75 if target_accept is None else float(target_accept),
+            )
+        else:
+            usamples, stats = hmc_sample(
+                logp,
+                q0,
+                key,
+                draws=draws,
+                tune=tune,
+                chains=chains,
+                n_leapfrog=n_leapfrog,
+                target_accept=0.8 if target_accept is None else float(target_accept),
+            )
         natural = constrain(usamples)
         self.trace = {k: np.asarray(v) for k, v in natural.items()}
         self.trace["_stats"] = {k: np.asarray(v) for k, v in stats.items()}

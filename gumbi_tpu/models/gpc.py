@@ -134,8 +134,16 @@ class GPC(GP):
             )
         return self
 
-    def find_MAP(self, n_restarts=8, maxiter=300, tol=1e-6, seed=None, **kwargs):
-        """Learn hyperparameters by maximizing the Laplace marginal likelihood."""
+    def find_MAP(self, n_restarts=8, maxiter=300, tol=1e-6, seed=None, mesh=None, **kwargs):
+        """Learn hyperparameters by maximizing the Laplace marginal likelihood.
+
+        With ``mesh`` (a :func:`gumbi_tpu.parallel.make_mesh` mesh) the
+        restart sweep shards over the devices — the Laplace/FITC-Laplace
+        evidences are pure functions of the hyperparameters, so classifier
+        restart parallelism is identical to the regressor's
+        (:mod:`gumbi_tpu.parallel.sharded`). Results match the single-device
+        fit (same objective, same restarts, argmin across devices).
+        """
         assert self._spec is not None, "Call build_model first"
         seed = self.seed if seed is None else seed
 
@@ -146,7 +154,24 @@ class GPC(GP):
         ls_alpha = jnp.asarray(self._ls_alpha, dtype=self._dtype)
         ls_beta = jnp.asarray(self._ls_beta, dtype=self._dtype)
 
-        if self.sparse:
+        if mesh is not None:
+            from ..ops.priors import unconstrain
+            from ..parallel import sharded_fit_fitc_laplace_map, sharded_fit_laplace_map
+
+            if self.sparse:
+                params, f_best, aux = sharded_fit_fitc_laplace_map(
+                    mesh, self._spec, self._xc, self._xk, self._xu_c, self._xu_k,
+                    self._yz, ls_alpha, ls_beta, u0s,
+                    maxiter=maxiter, tol=tol, mask=self._mask,
+                )
+            else:
+                params, f_best, aux = sharded_fit_laplace_map(
+                    mesh, self._spec, self._xc, self._xk, self._yz,
+                    ls_alpha, ls_beta, u0s,
+                    maxiter=maxiter, tol=tol, mask=self._mask,
+                )
+            u_best = unconstrain(params)
+        elif self.sparse:
             # FITC-Laplace: O(N·m²) evidence, gradients through the Newton
             # loop directly (only an m×m factorization inside).
             from ..ops.optimize import fit_fitc_laplace_map
@@ -182,21 +207,23 @@ class GPC(GP):
         self,
         draws=500,
         tune=500,
-        chains=2,
+        chains=None,
         seed=None,
         n_leapfrog=32,
         target_accept=None,
         latent=False,
         ess_sweeps=4,
+        sampler="chees",
         **kwargs,
     ):
         """Sample the classifier posterior.
 
         Two modes, both single-XLA-program on device:
 
-        * ``latent=False`` (default): HMC over hyperparameters under the
+        * ``latent=False`` (default): ChEES-HMC (or ``sampler='hmc'`` for
+          fixed-trajectory HMC) over hyperparameters under the
           Laplace-approximate marginal — a low-dimensional, well-conditioned
-          target.
+          target. Trajectory-length semantics as in :meth:`GP.sample`.
         * ``latent=True``: full-Bayes over the *joint* (latent field,
           hyperparameter) posterior — the reference's semantics (joint NUTS,
           extras.py:36-43) — via elliptical slice sampling on whitened
@@ -225,6 +252,8 @@ class GPC(GP):
             u0s = initial_params(self._spec, self._ls_alpha, self._ls_beta, 1, seed, dtype=self._dtype)
             q0 = {k: v[0] for k, v in u0s.items()}
 
+        if chains is None:
+            chains = 2 if latent else (16 if sampler == "chees" else 2)
         if latent:
             if self.sparse:
                 raise NotImplementedError(
@@ -247,8 +276,10 @@ class GPC(GP):
             self.trace["_stats"] = {k: np.asarray(v) for k, v in stats.items()}
             return self.trace
 
-        from ..ops.hmc import hmc_sample
+        from ..ops.hmc import chees_sample, hmc_sample
 
+        if sampler not in ("chees", "hmc"):
+            raise ValueError(f"sampler must be 'chees' or 'hmc', got {sampler!r}")
         if self.sparse:
             from ..ops.fitc_laplace import fitc_laplace_neg_logp
 
@@ -265,11 +296,18 @@ class GPC(GP):
                     mask=self._mask,
                 )
 
-        usamples, stats = hmc_sample(
-            logp, q0, jax.random.PRNGKey(seed),
-            draws=draws, tune=tune, chains=chains, n_leapfrog=n_leapfrog,
-            target_accept=0.8 if target_accept is None else float(target_accept),
-        )
+        if sampler == "chees":
+            usamples, stats = chees_sample(
+                logp, q0, jax.random.PRNGKey(seed),
+                draws=draws, tune=tune, chains=chains,
+                target_accept=0.75 if target_accept is None else float(target_accept),
+            )
+        else:
+            usamples, stats = hmc_sample(
+                logp, q0, jax.random.PRNGKey(seed),
+                draws=draws, tune=tune, chains=chains, n_leapfrog=n_leapfrog,
+                target_accept=0.8 if target_accept is None else float(target_accept),
+            )
         natural = constrain(usamples)
         self.trace = {k: np.asarray(v) for k, v in natural.items()}
         self.trace["_stats"] = {k: np.asarray(v) for k, v in stats.items()}

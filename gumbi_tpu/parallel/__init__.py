@@ -11,8 +11,11 @@ from .iterative import (  # noqa: F401
 from .mesh import NamedSharding, P, make_mesh, replicated, shard_leading  # noqa: F401
 from .sharded import (  # noqa: F401
     data_sharded_fit_gp_map,
+    sharded_fit_fitc_laplace_map,
+    sharded_fit_fitc_map,
     sharded_fit_gp_map,
     sharded_fit_kron_map,
+    sharded_fit_laplace_map,
     sharded_gram_mll,
     sharded_predict_diag,
     train_step,

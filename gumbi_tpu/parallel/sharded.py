@@ -41,6 +41,9 @@ from .blocked import dist_quad_and_logdet
 __all__ = [
     "sharded_fit_gp_map",
     "sharded_fit_kron_map",
+    "sharded_fit_laplace_map",
+    "sharded_fit_fitc_map",
+    "sharded_fit_fitc_laplace_map",
     "sharded_gram_mll",
     "sharded_predict_diag",
     "data_sharded_fit_gp_map",
@@ -58,6 +61,71 @@ def _pad_restarts(u0s, n_dev):
             lambda a: jnp.concatenate([a] + [a[:1]] * pad, axis=0), u0s
         )
     return u0s
+
+
+# --- Restart-parallel fits -----------------------------------------------
+#
+# Every MAP objective in ops/ is a pure function of the unconstrained
+# parameter pytree with the data closed over, so restart parallelism is one
+# pattern: shard the restart batch over ('restart', 'data'), replicate the
+# data, argmin across devices. The adapters below give each objective a
+# uniform (spec, uparams, *arrays, mask) calling convention; they are
+# module-level functions so the jitted runner's static argument hashes — and
+# therefore its compile cache — are stable across calls.
+
+
+def _dense_obj(spec, u, xc, xk, y, la, lb, mask):
+    return map_neg_logp(spec, u, xc, xk, y, la, lb, mask=mask)
+
+
+def _kron_obj(spec, u, xc_locs, Y, la, lb, mask):
+    from ..ops.kronecker import kron_neg_logp
+
+    return kron_neg_logp(spec, u, xc_locs, Y, la, lb)
+
+
+def _laplace_obj(spec, u, xc, xk, y, la, lb, mask):
+    from ..ops.laplace import laplace_neg_logp
+
+    return laplace_neg_logp(spec, u, xc, xk, y, la, lb, mask=mask)
+
+
+def _fitc_obj(spec, u, xc, xk, xu_c, xu_k, y, la, lb, mask):
+    from ..ops.fitc import fitc_neg_logp
+
+    return fitc_neg_logp(spec, u, xc, xk, xu_c, xu_k, y, la, lb, mask=mask)
+
+
+def _fitc_laplace_obj(spec, u, xc, xk, xu_c, xu_k, y, la, lb, mask):
+    from ..ops.fitc_laplace import fitc_laplace_neg_logp
+
+    return fitc_laplace_neg_logp(spec, u, xc, xk, xu_c, xu_k, y, la, lb, mask=mask)
+
+
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("maxiter",))
+def _run_restart_fit(neg_logp_fn, spec, u0s, arrays, mask, maxiter=250, tol=1e-6):
+    def objective(uparams):
+        return neg_logp_fn(spec, uparams, *arrays, mask)
+
+    u_best, f_best, aux = multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+    return constrain(u_best), f_best, aux
+
+
+def _restart_sharded_fit(mesh, neg_logp_fn, spec, arrays, u0s, mask, maxiter, tol):
+    """Shard the restart batch over the mesh, replicate the data, fit."""
+    restart_sharding = NamedSharding(mesh, P(("restart", "data")))
+    rep = NamedSharding(mesh, P())
+
+    u0s = _pad_restarts(u0s, mesh.devices.size)
+    u0s = jax.tree_util.tree_map(lambda a: jax.device_put(a, restart_sharding), u0s)
+    arrays = tuple(jax.device_put(v, rep) for v in arrays)
+    if mask is not None:
+        mask = jax.device_put(jnp.asarray(mask, dtype=arrays[-1].dtype), rep)
+
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        return _run_restart_fit(
+            neg_logp_fn, spec, u0s, arrays, mask, maxiter=maxiter, tol=tol
+        )
 
 
 def sharded_fit_gp_map(
@@ -81,27 +149,12 @@ def sharded_fit_gp_map(
     padding through to the masked MLL, matching the single-device
     ``fit_gp_map`` semantics exactly.
     """
-    restart_sharding = NamedSharding(mesh, P(("restart", "data")))
-    rep = NamedSharding(mesh, P())
-
-    u0s = _pad_restarts(u0s, mesh.devices.size)
-    u0s = jax.tree_util.tree_map(lambda a: jax.device_put(a, restart_sharding), u0s)
-    xc, xk, y, ls_alpha, ls_beta = (
-        jax.device_put(v, rep) for v in (xc, xk, y, ls_alpha, ls_beta)
-    )
     if mask is not None:
-        mask = jax.device_put(jnp.asarray(mask, dtype=y.dtype), rep)
-
-    @partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter",))
-    def run(spec, xc, xk, y, ls_alpha, ls_beta, u0s, mask, maxiter=250, tol=1e-6):
-        def objective(uparams):
-            return map_neg_logp(spec, uparams, xc, xk, y, ls_alpha, ls_beta, mask=mask)
-
-        u_best, f_best, aux = multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
-        return constrain(u_best), f_best, aux
-
-    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
-        return run(spec, xc, xk, y, ls_alpha, ls_beta, u0s, mask, maxiter=maxiter, tol=tol)
+        mask = jnp.asarray(mask, dtype=y.dtype)
+    return _restart_sharded_fit(
+        mesh, _dense_obj, spec, (xc, xk, y, ls_alpha, ls_beta), u0s, mask,
+        maxiter, tol,
+    )
 
 
 def sharded_fit_kron_map(
@@ -123,27 +176,91 @@ def sharded_fit_kron_map(
     dense path — shard the restart batch, replicate the (N, d)+(N, D) data,
     argmin across devices.
     """
-    from ..ops.kronecker import kron_neg_logp
-
-    restart_sharding = NamedSharding(mesh, P(("restart", "data")))
-    rep = NamedSharding(mesh, P())
-
-    u0s = _pad_restarts(u0s, mesh.devices.size)
-    u0s = jax.tree_util.tree_map(lambda a: jax.device_put(a, restart_sharding), u0s)
-    xc_locs, Y, ls_alpha, ls_beta = (
-        jax.device_put(v, rep) for v in (xc_locs, Y, ls_alpha, ls_beta)
+    return _restart_sharded_fit(
+        mesh, _kron_obj, spec, (xc_locs, Y, ls_alpha, ls_beta), u0s, None,
+        maxiter, tol,
     )
 
-    @partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter",))
-    def run(spec, xc_locs, Y, ls_alpha, ls_beta, u0s, maxiter=250, tol=1e-6):
-        def objective(uparams):
-            return kron_neg_logp(spec, uparams, xc_locs, Y, ls_alpha, ls_beta)
 
-        u_best, f_best, aux = multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
-        return constrain(u_best), f_best, aux
+def sharded_fit_laplace_map(
+    mesh: Mesh,
+    spec: GPSpec,
+    xc,
+    xk,
+    y,
+    ls_alpha,
+    ls_beta,
+    u0s,
+    maxiter=300,
+    tol=1e-6,
+    mask=None,
+):
+    """Restart-sharded MAP fit of the classifier's Laplace evidence.
 
-    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
-        return run(spec, xc_locs, Y, ls_alpha, ls_beta, u0s, maxiter=maxiter, tol=tol)
+    The Laplace marginal likelihood (Newton mode-finding inside jit, exact
+    analytic gradient at the mode via the ops/laplace.py custom VJP) is a
+    pure function of the unconstrained hyperparameters, so the classifier
+    shards restarts exactly like the regressor — GPC.find_MAP(mesh=…).
+    """
+    if mask is not None:
+        mask = jnp.asarray(mask, dtype=y.dtype)
+    return _restart_sharded_fit(
+        mesh, _laplace_obj, spec, (xc, xk, y, ls_alpha, ls_beta), u0s, mask,
+        maxiter, tol,
+    )
+
+
+def sharded_fit_fitc_map(
+    mesh: Mesh,
+    spec: GPSpec,
+    xc,
+    xk,
+    xu_c,
+    xu_k,
+    y,
+    ls_alpha,
+    ls_beta,
+    u0s,
+    maxiter=250,
+    tol=1e-6,
+    mask=None,
+):
+    """Restart-sharded MAP fit of the sparse (FITC) regressor evidence.
+
+    Each restart's objective is O(N·m²) — cheap per step but the restart
+    sweep still dominates sparse large-N fits, and it is embarrassingly
+    parallel across the mesh: GP.find_MAP(mesh=…) on a sparse build.
+    """
+    if mask is not None:
+        mask = jnp.asarray(mask, dtype=y.dtype)
+    return _restart_sharded_fit(
+        mesh, _fitc_obj, spec, (xc, xk, xu_c, xu_k, y, ls_alpha, ls_beta),
+        u0s, mask, maxiter, tol,
+    )
+
+
+def sharded_fit_fitc_laplace_map(
+    mesh: Mesh,
+    spec: GPSpec,
+    xc,
+    xk,
+    xu_c,
+    xu_k,
+    y,
+    ls_alpha,
+    ls_beta,
+    u0s,
+    maxiter=300,
+    tol=1e-6,
+    mask=None,
+):
+    """Restart-sharded MAP fit of the sparse classifier (FITC-Laplace)."""
+    if mask is not None:
+        mask = jnp.asarray(mask, dtype=y.dtype)
+    return _restart_sharded_fit(
+        mesh, _fitc_laplace_obj, spec,
+        (xc, xk, xu_c, xu_k, y, ls_alpha, ls_beta), u0s, mask, maxiter, tol,
+    )
 
 
 def _sharded_noisy_gram(mesh: Mesh, spec: GPSpec, params, xc, xk, jitter, n):

@@ -51,9 +51,54 @@ def test_hmc_standard_normal():
     assert np.allclose(zs.std(0), 2.0, atol=0.4)
 
 
+def test_chees_standard_normal():
+    """ChEES-HMC must recover a known anisotropic Gaussian's moments with no
+    trajectory-length knob: T adapts by cross-chain gradient ascent during
+    warmup, acceptance hits the dual-averaging target."""
+    from gumbi_tpu.ops.hmc import chees_sample
+
+    import jax
+
+    def logp(q):
+        return -0.5 * jnp.sum(q["x"] ** 2) - 0.5 * jnp.sum((q["z"] - 2.0) ** 2 / 4.0)
+
+    q0 = {"x": jnp.zeros(3), "z": jnp.zeros(2)}
+    samples, stats = chees_sample(
+        logp, q0, jax.random.PRNGKey(0), draws=800, tune=600, chains=16
+    )
+    xs = np.asarray(samples["x"]).reshape(-1, 3)
+    zs = np.asarray(samples["z"]).reshape(-1, 2)
+    # adapted diagnostics must be finite and sane
+    assert 0.5 < float(stats["mean_accept"]) < 1.0
+    assert float(stats["trajectory_length"]) > 0.0
+    assert float(stats["step_size"]) > 0.0
+    assert np.allclose(xs.mean(0), 0.0, atol=0.15)
+    assert np.allclose(xs.std(0), 1.0, atol=0.2)
+    # the z block has std 2 — the whitened criterion must handle anisotropy
+    assert np.allclose(zs.mean(0), 2.0, atol=0.3)
+    assert np.allclose(zs.std(0), 2.0, atol=0.4)
+
+
+def test_sample_rejects_unknown_sampler(fitted):
+    with pytest.raises(ValueError, match="sampler"):
+        fitted.sample(draws=2, tune=2, sampler="nuts!")
+
+
+@pytest.mark.slow
+def test_gp_sample_chees_matches_hmc(fitted):
+    """The default (ChEES) sampler and fixed-length HMC target the same
+    posterior: medians of the lengthscale trace must agree."""
+    t_chees = fitted.sample(draws=150, tune=150, chains=8, seed=5)
+    med_chees = np.median(np.asarray(t_chees["ls_total"]).ravel())
+    assert float(t_chees["_stats"]["mean_accept"]) > 0.4
+    t_hmc = fitted.sample(draws=150, tune=150, chains=2, n_leapfrog=16, sampler="hmc", seed=5)
+    med_hmc = np.median(np.asarray(t_hmc["ls_total"]).ravel())
+    assert np.isclose(med_chees, med_hmc, rtol=0.35)
+
+
 @pytest.mark.slow
 def test_gp_sample_and_trace_draws(fitted):
-    trace = fitted.sample(draws=100, tune=100, chains=2, n_leapfrog=16)
+    trace = fitted.sample(draws=100, tune=100, chains=2, n_leapfrog=16, sampler="hmc")
     assert trace["ls_total"].shape[:2] == (2, 100)
     assert np.all(trace["σ"] > 0)
     # Posterior should concentrate near the MAP

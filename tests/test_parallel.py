@@ -315,3 +315,99 @@ def test_sharded_predict_diag_respects_bucket_mask(problem):
     m2, v2 = sharded_predict_diag(mesh, spec, params, cache, xs, ks)
     assert np.allclose(np.asarray(m1), np.asarray(m2), atol=1e-10)
     assert np.allclose(np.asarray(v1), np.asarray(v2), atol=1e-10)
+
+
+def test_model_level_mesh_gpc_fit():
+    """GPC.find_MAP(mesh=...) — restart-sharded Laplace evidence — matches
+    the single-device classifier fit and predicts identically."""
+    import pandas as pd
+
+    import gumbi_tpu as gmb
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-2, 2, 64)
+    labels = (x + 0.25 * rng.normal(size=64) > 0).astype(float)
+    ds = gmb.DataSet(pd.DataFrame({"x": x, "label": labels}), outputs=["label"])
+
+    def build():
+        gpc = gmb.GPC(ds)
+        gpc.specify_model(outputs=["label"], continuous_dims=["x"])
+        gpc.build_model()
+        return gpc
+
+    gpc1 = build()
+    gpc1.find_MAP(n_restarts=4, maxiter=60)
+
+    mesh = make_mesh(8, restart_axis=4)
+    gpc2 = build()
+    gpc2.find_MAP(n_restarts=4, maxiter=60, mesh=mesh)
+
+    assert np.allclose(gpc1.MAP["ls_total"], gpc2.MAP["ls_total"], rtol=1e-5)
+    assert np.isclose(gpc1._neg_logp, gpc2._neg_logp, rtol=1e-6)
+
+    pts = gpc1.parray(x=np.array([-1.5, 0.0, 1.5]))
+    assert np.allclose(
+        gpc1.predict_proba(pts), gpc2.predict_proba(pts), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_model_level_mesh_sparse_gpc_fit():
+    """GPC.find_MAP(mesh=...) on a sparse (FITC-Laplace) build matches the
+    single-device sparse classifier fit."""
+    import pandas as pd
+
+    import gumbi_tpu as gmb
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-2, 2, 96)
+    labels = (np.sin(1.5 * x) + 0.3 * rng.normal(size=96) > 0).astype(float)
+    ds = gmb.DataSet(pd.DataFrame({"x": x, "label": labels}), outputs=["label"])
+
+    def build():
+        gpc = gmb.GPC(ds)
+        gpc.specify_model(outputs=["label"], continuous_dims=["x"])
+        gpc.build_model(sparse=True, n_u=24)
+        return gpc
+
+    gpc1 = build()
+    gpc1.find_MAP(n_restarts=4, maxiter=60)
+
+    mesh = make_mesh(8, restart_axis=4)
+    gpc2 = build()
+    gpc2.find_MAP(n_restarts=4, maxiter=60, mesh=mesh)
+
+    assert np.allclose(gpc1.MAP["ls_total"], gpc2.MAP["ls_total"], rtol=1e-5)
+    assert np.isclose(gpc1._neg_logp, gpc2._neg_logp, rtol=1e-6)
+
+
+def test_model_level_mesh_sparse_gp_fit():
+    """GP.find_MAP(mesh=...) on a sparse (FITC) regressor build —
+    restart-sharded fitc_neg_logp — matches the single-device sparse fit."""
+    import gumbi_tpu as gmb
+
+    df = gmb.data.cars(n=60, seed=13)
+    ds = gmb.DataSet(
+        df, outputs=["mpg", "acceleration"], log_vars=["mpg", "acceleration", "horsepower"]
+    )
+
+    def build():
+        gp = gmb.GP(ds)
+        gp.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+        gp.build_model(sparse=True, n_u=16)
+        return gp
+
+    gp1 = build()
+    gp1.find_MAP(n_restarts=4, maxiter=80)
+
+    mesh = make_mesh(8, restart_axis=4)
+    gp2 = build()
+    gp2.find_MAP(n_restarts=4, maxiter=80, mesh=mesh)
+
+    assert np.allclose(gp1.MAP["ls_total"], gp2.MAP["ls_total"], rtol=1e-5)
+    assert np.isclose(gp1._neg_logp, gp2._neg_logp, rtol=1e-6)
+
+    X, _ = gp1.get_structured_data()
+    p1 = gp1.predict_points(X[:7])
+    p2 = gp2.predict_points(X[:7])
+    assert np.allclose(p1.μ, p2.μ, rtol=1e-5)
+    assert np.allclose(p1.σ2, p2.σ2, rtol=1e-4)
