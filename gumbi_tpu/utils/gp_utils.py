@@ -17,6 +17,34 @@ from .misc import listify
 __all__ = ["parse_ls_limits", "get_ls_prior", "fit_inverse_gamma"]
 
 
+def _distance_extrema(points):
+    """(min, max) nonzero pairwise Euclidean distance, scalable in N.
+
+    1-D columns (the ARD default) are exact at O(N log N): after sorting,
+    the smallest nonzero pairwise |Δ| is the smallest positive consecutive
+    gap and the largest is ``max − min``. Multi-column sets (``ARD=False``)
+    keep scipy's ``pdist`` up to 4,096 rows and bound it with a
+    deterministic subsample beyond that — the O(N²) distance matrix at
+    N = 50k is 10 GB of host memory for two numbers whose subsample
+    estimate is within the prior's own slack.
+    """
+    if points.shape[1] == 1:
+        v = np.sort(points[:, 0])
+        gaps = np.diff(v)
+        gaps = gaps[gaps > 0]
+        if gaps.size == 0:
+            return None, None
+        return float(gaps.min()), float(v[-1] - v[0])
+    if len(points) > 4096:
+        rng = np.random.default_rng(0)
+        points = points[rng.choice(len(points), 4096, replace=False)]
+    distances = pdist(points)
+    distances = distances[distances != 0]
+    if distances.size == 0:
+        return None, None
+    return float(distances.min()), float(distances.max())
+
+
 def parse_ls_limits(X, *, ARD, lower=None, upper=None):
     """Per-dimension (lower, upper) lengthscale bounds from pairwise distances.
 
@@ -37,10 +65,9 @@ def parse_ls_limits(X, *, ARD, lower=None, upper=None):
 
     out_lo, out_hi = [], []
     for points, lo, hi in zip(col_sets, lowers, uppers):
-        distances = pdist(points)
-        distinct = distances != 0
-        default_lower = distances[distinct].min() if distinct.sum() > 0 else 0.01
-        default_upper = distances[distinct].max() if distinct.sum() > 0 else 1.0
+        d_min, d_max = _distance_extrema(points)
+        default_lower = 0.01 if d_min is None else d_min
+        default_upper = 1.0 if d_max is None else d_max
         lo = default_lower if lo is None else lo
         lo = max(lo, default_lower, 0.01)
         hi = default_upper if hi is None else hi

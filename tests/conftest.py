@@ -23,8 +23,35 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 # Persistent compilation cache: the vmapped L-BFGS fit program is expensive to
-# compile; cache it across test runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+# compile; cache it across test runs. The tests get their OWN cache directory:
+# sharing /root/.cache/jax with TPU benchmark processes corrupted entries when
+# both wrote concurrently (observed: segfault inside
+# compilation_cache.get_executable_and_time deserializing a clobbered entry).
+# The directory is further namespaced by a CPU-signature hash: the cache
+# stores AOT-compiled host executables, and entries written by a DIFFERENT
+# host CPU (these machines rotate between rounds) load fine but then execute
+# illegal instructions — observed as sporadic mid-suite SIGSEGV/SIGILL with
+# jax's own "compiled on a different machine" warning in the log.
+
+
+def _cpu_cache_tag():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            info = fh.read()
+        sig = "|".join(
+            sorted({ln for ln in info.splitlines() if ln.startswith(("model name", "flags"))})
+        )
+    except OSError:
+        import platform
+
+        sig = platform.processor() or platform.machine()
+    return hashlib.sha256(sig.encode()).hexdigest()[:12]
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", f"/root/.cache/jax-tests-{_cpu_cache_tag()}")
+os.environ.setdefault("GUMBI_TPU_CACHE_DIR", os.environ["JAX_COMPILATION_CACHE_DIR"])
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax  # noqa: E402

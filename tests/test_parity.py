@@ -222,3 +222,84 @@ def test_tpu_f64_parity():
         pytest.skip("no accelerator backend attached")
     assert proc.returncode == 0, out
     assert "TPU F64 PARITY OK" in out
+
+
+def test_map_fit_parity():
+    """The statistical half of parity: where does the MAP *land*?
+
+    The fixed-hyperparameter oracles above pin the posterior math but not the
+    fit. This test pins (a) the lengthscale-prior construction — the fitted
+    InverseGamma must place the requested mass between the data-derived
+    pairwise-distance bounds with equal tails (reference
+    pm.find_constrained_prior semantics, gumbi/utils/gp_utils.py:51-87) —
+    and (b) the optimizer: an INDEPENDENT textbook implementation of the
+    same log-posterior (numpy f64 + scipy L-BFGS-B with numerical gradients,
+    reference optimizer: pm.find_MAP → scipy, GP.py:799-813) started from the
+    same restarts must land on the same hyperparameters and the same
+    objective value.
+    """
+    from scipy import optimize as sopt
+    from scipy import special as ssp
+    from scipy import stats as sstats
+
+    from gumbi_tpu.ops import initial_params
+    from gumbi_tpu.ops.mll import DEFAULT_JITTER
+    from gumbi_tpu.utils.gp_utils import parse_ls_limits
+
+    df = gmb.data.cars(n=60, seed=1)
+    ds = gmb.DataSet(df, outputs=["mpg"], log_vars=["mpg", "horsepower"])
+    gp = gmb.GP(ds)
+    gp.specify_model(outputs=["mpg"], continuous_dims=["horsepower"])
+    gp.build_model(heteroskedastic_outputs=False)
+    assert gp._dtype == jnp.float64  # the parity fit must run in f64
+
+    # (a) prior construction: equal-tail mass between the pdist bounds
+    Xz = np.asarray(gp._xc, dtype=np.float64)
+    (lo,), (hi,) = parse_ls_limits(Xz, ARD=True)
+    alpha, beta = float(gp._ls_alpha[0]), float(gp._ls_beta[0])
+    dist = sstats.invgamma(alpha, scale=beta)
+    tail = (1.0 - 0.98) / 2.0
+    assert np.isclose(dist.cdf(lo), tail, atol=1e-5)
+    assert np.isclose(dist.cdf(hi), 1.0 - tail, atol=1e-5)
+
+    # (b) the fit: engine vs an independent scipy L-BFGS-B oracle
+    gp.find_MAP(n_restarts=6, maxiter=500, tol=1e-12, seed=3)
+
+    yz = np.asarray(gp._yz, dtype=np.float64)
+    n = len(yz)
+
+    def neg_log_posterior(u):
+        u_ls, u_eta, u_sig = u[0], u[1], u[2]
+        ls, eta, sig = np.exp(u_ls), np.exp(u_eta), np.exp(u_sig)
+        K = eta**2 * np.exp(-0.5 * ((Xz - Xz.T) / ls) ** 2)
+        A = K + (sig**2 + DEFAULT_JITTER) * np.eye(n)
+        L = np.linalg.cholesky(A)
+        w = np.linalg.solve(L, yz)
+        mll = -0.5 * (w @ w) - np.log(np.diag(L)).sum() - 0.5 * n * np.log(2 * np.pi)
+        lp_ls = alpha * np.log(beta) - ssp.gammaln(alpha) - (alpha + 1) * u_ls - beta / ls
+        lp_eta = u_eta - eta  # Gamma(2, 1): log x - x - lgamma(2)
+        lp_sig = -sig  # Exponential(1)
+        jac = u_ls + u_eta + u_sig  # log|dx/du| for x = exp(u)
+        return -(mll + lp_ls + lp_eta + lp_sig + jac)
+
+    u0s = initial_params(gp._spec, gp._ls_alpha, gp._ls_beta, n_restarts=6, seed=3)
+    best = None
+    for r in range(6):
+        x0 = np.array(
+            [float(u0s["ls_total"][r][0]), float(u0s["η_total"][r]), float(u0s["σ"][r])]
+        )
+        res = sopt.minimize(
+            neg_log_posterior, x0, method="L-BFGS-B",
+            options={"maxiter": 500, "ftol": 1e-14, "gtol": 1e-12},
+        )
+        if best is None or res.fun < best.fun:
+            best = res
+
+    engine_obj = float(gp._neg_logp)
+    oracle_obj = float(best.fun)
+    # Same basin, same optimum: objective values agree to well under a nat
+    assert abs(engine_obj - oracle_obj) < 1e-3, (engine_obj, oracle_obj)
+    ls_o, eta_o, sig_o = np.exp(best.x)
+    assert np.isclose(float(gp.MAP["ls_total"][0]), ls_o, rtol=1e-3)
+    assert np.isclose(float(gp.MAP["η_total"]), eta_o, rtol=1e-3)
+    assert np.isclose(float(gp.MAP["σ"]), sig_o, rtol=1e-3)
