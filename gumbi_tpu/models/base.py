@@ -48,42 +48,50 @@ class Regressor(ABC):
       treated as a categorical dimension.
     """
 
+    # Public attribute groups (names are API contract, shared with the
+    # reference Regressor). Split by lifecycle: specification state is
+    # (re)set by specify_model; the rest is filled by fitting/prediction.
+    _SPEC_LIST_ATTRS = ("continuous_dims", "linear_dims", "categorical_dims")
+    _SPEC_DICT_ATTRS = (
+        "continuous_levels",
+        "continuous_coords",
+        "categorical_levels",
+        "categorical_coords",
+        "filter_dims",
+        "model_specs",
+    )
+    _STATE_ATTRS = (
+        "X",
+        "y",
+        "grid_vectors",
+        "grid_parray",
+        "grid_points",
+        "ticks",
+        "predictions",
+        "predictions_X",
+    )
+
     def __init__(self, dataset: DataSet, outputs=None, seed=2021):
         if not isinstance(dataset, DataSet):
             raise TypeError("Learner instance must be initialized with a DataSet object")
 
         self.data = dataset
         self.stdzr = dataset.stdzr
-        outputs = outputs if outputs is not None else dataset.outputs
-        self.outputs = outputs if isinstance(outputs, list) else [outputs]
         self.out_col = dataset.names_column
         self.seed = seed
+        if outputs is None:
+            outputs = dataset.outputs
+        self.outputs = outputs if isinstance(outputs, list) else [outputs]
 
-        self.continuous_dims = []
-        self.linear_dims = []
-        self.continuous_levels = {}
-        self.continuous_coords = {}
-        self.categorical_dims = []
-        self.categorical_levels = {}
-        self.categorical_coords = {}
-        self.filter_dims = {}
+        for name in self._SPEC_LIST_ATTRS:
+            setattr(self, name, [])
+        for name in self._SPEC_DICT_ATTRS:
+            setattr(self, name, {})
         self.additive = False
-        self.model_specs = {}
+        for name in self._STATE_ATTRS:
+            setattr(self, name, None)
 
-        self.X = None
-        self.y = None
-
-        self.grid_vectors = None
-        self.grid_parray = None
-        self.grid_points = None
-        self.ticks = None
-
-        self.predictions = None
-        self.predictions_X = None
-
-    ################################################################################
-    # Abstract interface
-    ################################################################################
+    # ------------------------- Abstract interface -------------------------
 
     @abstractmethod
     def fit(self, *args, **kwargs):
@@ -109,9 +117,7 @@ class Regressor(ABC):
         """
         return np.eye(len(param_coords))
 
-    ################################################################################
-    # Convenience constructors / properties
-    ################################################################################
+    # ------------------------- Convenience constructors / properties -------------------------
 
     def parray(self, **kwargs) -> parray:
         """parray sharing this instance's Standardizer."""
@@ -140,9 +146,7 @@ class Regressor(ABC):
         """Numerical coordinate of each level within each dimension."""
         return {**self.continuous_coords, **self.categorical_coords}
 
-    ################################################################################
-    # Model specification
-    ################################################################################
+    # ------------------------- Model specification -------------------------
 
     def specify_model(
         self,
@@ -270,9 +274,7 @@ class Regressor(ABC):
         categories = col.astype("category").cat.categories.to_list()
         return {level: categories.index(level) for level in levels_list}
 
-    ################################################################################
-    # Data extraction
-    ################################################################################
+    # ------------------------- Data extraction -------------------------
 
     def get_filtered_data(self, standardized=False, metric="mean"):
         """Subset of the tidy data matching filters and levels."""
@@ -345,9 +347,7 @@ class Regressor(ABC):
             return X[~nans], y[~nans]
         return X, y
 
-    ################################################################################
-    # Prediction plumbing
-    ################################################################################
+    # ------------------------- Prediction plumbing -------------------------
 
     def _check_has_prediction(self):
         if self.predictions is None:
@@ -484,27 +484,29 @@ class Regressor(ABC):
         else:
             assert_is_subset("continuous dimensions", resolution.keys(), self.continuous_dims)
 
-        grid_vectors = {
-            dim: self.parray(
-                **{dim: np.linspace(*limits[dim].z.values(), resolution[dim])[:, None]},
-                stdzd=True,
-            )
-            for dim in limit_dims
-        }
+        # Axis vectors: one single-layer (r, 1) parray per gridded dimension,
+        # linearly spaced in z-space between that dimension's limits.
+        def _axis_vector(dim):
+            z_lo, z_hi = limits[dim].z.values()
+            ticks = np.linspace(z_lo, z_hi, resolution[dim])
+            return self.parray(**{dim: ticks[:, None]}, stdzd=True)
 
-        grids = np.meshgrid(
-            *[grid_vectors[dim] for dim in self.dims if dim in limit_dims], indexing="ij"
-        )
-        grid_parray = self.parray(**{array.names[0]: array.values() for array in grids})
+        grid_vectors = {dim: _axis_vector(dim) for dim in limit_dims}
 
+        # Dense product grid, dimension order following self.dims; any
+        # dimensions pinned via `at` become constant layers over the grid.
+        ordered_dims = [dim for dim in self.dims if dim in limit_dims]
+        mesh = np.meshgrid(*(grid_vectors[dim] for dim in ordered_dims), indexing="ij")
+        layers = {dim: axes.values() for dim, axes in zip(ordered_dims, mesh)}
+        grid_parray = self.parray(**layers)
         if at.names != ["none"]:
-            at_arrays = {dim: np.full(grid_parray.shape, value) for dim, value in at.as_dict().items()}
-            grid_parray = grid_parray.add_layers(**at_arrays)
+            pinned = {dim: np.full(grid_parray.shape, v) for dim, v in at.as_dict().items()}
+            grid_parray = grid_parray.add_layers(**pinned)
 
-        self.prediction_dims = [dim for dim in self.dims if dim in limit_dims]
+        self.prediction_dims = ordered_dims
         self.grid_vectors = grid_vectors
         self.grid_parray = grid_parray
-        self.grid_points = self.grid_parray.ravel()
+        self.grid_points = grid_parray.ravel()
         return grid_parray
 
     def marginal_grids(self, *dims):
@@ -545,9 +547,7 @@ class Regressor(ABC):
             points = continuous_parray
         return points
 
-    ################################################################################
-    # Proposals (grid-based acquisition over existing predictions)
-    ################################################################################
+    # ------------------------- Proposals (grid-based acquisition over existing predictions) -------------------------
 
     def propose(self, target, acquisition="EI"):
         """Propose the grid point optimizing an acquisition toward ``target``."""
@@ -572,9 +572,7 @@ class Regressor(ABC):
         self.proposal = self.predictions_X.ravel()[self.proposal_idx]
         return self.proposal
 
-    ################################################################################
-    # Evaluation
-    ################################################################################
+    # ------------------------- Evaluation -------------------------
 
     def cross_validate(
         self,
@@ -690,16 +688,19 @@ class Regressor(ABC):
 
         categorical_dims = [dim for dim in self.categorical_dims if dim != self.out_col]
 
-        specifications = dict(
-            outputs=self.outputs,
-            linear_dims=self.linear_dims,
-            continuous_dims=self.continuous_dims,
-            continuous_levels=self.continuous_levels,
-            continuous_coords=self.continuous_coords,
-            categorical_dims=categorical_dims,
-            categorical_levels=self.categorical_levels,
-            additive=self.additive,
+        # Re-specification template: the current model spec, minus the
+        # out_col pseudo-dimension (specify_model re-appends it).
+        _SPEC_FIELDS = (
+            "outputs",
+            "linear_dims",
+            "continuous_dims",
+            "continuous_levels",
+            "continuous_coords",
+            "categorical_levels",
+            "additive",
         )
+        specifications = {field: getattr(self, field) for field in _SPEC_FIELDS}
+        specifications["categorical_dims"] = categorical_dims
 
         def _subset_specs(sub_df):
             # The out_col is tidy-only (wide rows carry all outputs at once),
@@ -728,17 +729,10 @@ class Regressor(ABC):
         train_specs = _subset_specs(train_df)
         test_specs = _subset_specs(test_df)
 
-        dataset_specs = dict(
-            outputs=self.data.outputs,
-            names_column=self.data.names_column,
-            values_column=self.data.values_column,
-            log_vars=self.data.log_vars,
-            logit_vars=self.data.logit_vars,
-            stdzr=self.data.stdzr,
-        )
-
-        train_ds = DataSet(train_df, **dataset_specs)
-        test_ds = DataSet(test_df, **dataset_specs)
+        # Sibling DataSets inherit the parent's construction kwargs —
+        # including the parent stdzr, so train/test share one z-space.
+        train_ds = DataSet(train_df, **self.data.specs)
+        test_ds = DataSet(test_df, **self.data.specs)
 
         train_obj = self.__class__(train_ds, outputs=self.outputs, seed=seed)
         train_specs["categorical_dims"] = categorical_dims
@@ -783,9 +777,7 @@ class Regressor(ABC):
             "test": {"data": test_ds, "NLPDs": test_nlpd, "errors": test_error},
         }
 
-    ################################################################################
-    # Conditional slices
-    ################################################################################
+    # ------------------------- Conditional slices -------------------------
 
     def get_conditional_prediction(self, **dim_values):
         """Slice of the prediction grid conditioned on fixed dim values.

@@ -1,46 +1,58 @@
 """Experiment-directory scaffolding and figure export helpers.
 
-Parity with reference gumbi/utils/generic_utils.py:9-66.
+Behavior parity with reference gumbi/utils/generic_utils.py:9-66 (same public
+names, same return contract); implementation is fresh.
 """
 
-import os
-import pathlib as pl
+from pathlib import Path
 
 __all__ = ["setup_paths", "savefig"]
 
+# Sibling directories expected next to the Code directory in the reference's
+# experiment layout. Order matters: callers unpack positionally.
+_SIBLINGS = ("Data", "Results", "Figures")
+
 
 def setup_paths(make_missing=True):
-    """Return (base, code, data, results, figures) paths for an experiment layout.
+    """Resolve the experiment directory layout around the working directory.
 
-    The current working directory is treated as the Code directory; Data,
-    Results, and Figures are siblings under the parent.
+    The cwd is taken to be the experiment's ``Code`` directory; ``Data``,
+    ``Results``, and ``Figures`` live beside it under the common parent.
+
+    Returns the tuple ``(base, code, data, results, figures)`` of
+    :class:`pathlib.Path` objects. With ``make_missing`` (the default) the
+    three sibling directories are created if absent.
     """
-    code_pth = pl.Path(os.getcwd())
-    base_pth = code_pth.parent
-    data_pth = base_pth / "Data"
-    rslt_pth = base_pth / "Results"
-    fig_pth = base_pth / "Figures"
+    code = Path.cwd()
+    siblings = tuple(code.parent / name for name in _SIBLINGS)
     if make_missing:
-        for p in (data_pth, rslt_pth, fig_pth):
-            p.mkdir(parents=True, exist_ok=True)
-    return base_pth, code_pth, data_pth, rslt_pth, fig_pth
+        for directory in siblings:
+            directory.mkdir(parents=True, exist_ok=True)
+    return (code.parent, code) + siblings
 
 
 def savefig(filename: str, fig=None, path=None, silent=False, **kwargs):
-    """Save a figure as 300-dpi transparent .png plus .svg."""
+    """Export a matplotlib figure as both ``.png`` (300 dpi) and ``.svg``.
+
+    ``filename`` is extensionless; ``fig`` defaults to the current figure and
+    ``path`` to the experiment's Figures directory (via :func:`setup_paths`).
+    Keyword arguments pass through to ``Figure.savefig``; tight bounding box
+    and transparency are applied unless overridden.
+    """
     import matplotlib.pyplot as plt
 
-    fig = plt.gcf() if fig is None else fig
-    path = setup_paths(make_missing=False)[-1] if path is None else path
+    if fig is None:
+        fig = plt.gcf()
+    if path is None:
+        path = setup_paths(make_missing=False)[-1]
+    options = {"bbox_inches": "tight", "transparent": True, **kwargs}
 
-    kwargs.setdefault("bbox_inches", "tight")
-    kwargs.setdefault("transparent", True)
+    def _progress(msg, end=""):
+        if not silent:
+            print(msg, end=end)
 
-    if not silent:
-        print("Saving.", end="")
-    fig.savefig(path / (filename + ".png"), dpi=300, **kwargs)
-    if not silent:
-        print(".", end="")
-    fig.savefig(path / (filename + ".svg"), **kwargs)
-    if not silent:
-        print("Done")
+    _progress("Saving.")
+    fig.savefig(Path(path) / f"{filename}.png", dpi=300, **options)
+    _progress(".")
+    fig.savefig(Path(path) / f"{filename}.svg", **options)
+    _progress("Done", end="\n")
