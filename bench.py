@@ -91,6 +91,12 @@ POLISH_FTOL = float(os.environ.get("BENCH_POLISH_FTOL", 1e-4))
 #             does not persist across tunnel sessions for large programs).
 #   map       the round-2 lax.map program (kept for comparison).
 COARSE_MODE = os.environ.get("BENCH_COARSE_MODE", "hostloop")
+if COARSE_MODE not in ("hostloop", "map"):
+    raise SystemExit(
+        f"BENCH_COARSE_MODE={COARSE_MODE!r} is not one of 'hostloop'/'map' — "
+        "refusing to silently fall back (a typo here reintroduces the 86-391 s "
+        "per-process re-processing cost hostloop exists to avoid)."
+    )
 GRID = int(os.environ.get("BENCH_GRID", 100))  # resolution PER DIM (ref default)
 BASELINE_SECONDS = 1.0
 # Measured f32 GEMM roofline on this chip (benchmarks/probe_chol.py: 5120²
@@ -370,6 +376,7 @@ def main():
                 "roofline_pct": round(100 * gflops / GEMM_ROOFLINE_GFLOPS, 1),
                 "op_floor_ms": round(op_floor_ms, 1),
                 "op_floor_pct": round(100 * op_floor_ms / (dt_mll * 1e3), 1),
+                "coarse_mode": COARSE_MODE,
             }
         )
     )

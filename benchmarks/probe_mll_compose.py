@@ -93,6 +93,9 @@ def main():
     cho_solve_j = jax.jit(
         lambda L, Z: jsl.cho_solve((L, True), Z.T[..., None])[..., 0]
     )
+    # Pallas is default-on under TPU since r4 — pin it OFF for the XLA
+    # baseline stages, then ON for the comparison.
+    enable_pallas(False)
     mll_j = jax.jit(lambda p: kron_mll(spec, p, xc, Y))
 
     Kx = gram_j(params)
