@@ -1053,18 +1053,22 @@ class GP(Regressor):
             # outright — bench.py COARSE_MODE, docs/perf.md §9); one
             # single-restart program + async dispatches is equivalent and
             # loads in seconds.
-            u_start, _, aux_c = multi_restart_minimize_hostloop(
-                coarse_obj, u0s, maxiter=maxiter, tol=tol
-            )
+            from ..utils.profiling import phase
+
+            with phase("iter_coarse"):
+                u_start, _, aux_c = multi_restart_minimize_hostloop(
+                    coarse_obj, u0s, maxiter=maxiter, tol=tol
+                )
             pm_iter = int(polish_maxiter) if polish_maxiter else 100
             # Host-driven polish: one jitted value/value+grad per dispatch.
             # A compiled L-BFGS step (value+grad + backtracking trials in ONE
             # program) runs minutes at an ill-conditioned full-N start and
             # crashes the remote TPU worker; single evaluations pass
             # (bisected — docs/perf.md decision 14).
-            u_best, neg_logp, polish_iters = lbfgs_host_minimize(
-                objective, u_start, maxiter=pm_iter, ftol=tol
-            )
+            with phase("iter_polish"):
+                u_best, neg_logp, polish_iters = lbfgs_host_minimize(
+                    objective, u_start, maxiter=pm_iter, ftol=tol
+                )
             aux = {
                 "all_values": aux_c["all_values"],
                 "iters": aux_c["iters"],
@@ -1082,11 +1086,15 @@ class GP(Regressor):
         self.MAP = {k: np.asarray(v) for k, v in params.items()}
         self._cache = None  # never build the (N, N) Cholesky state
         self._iter_state = {"cfg": cfg, "xc": xc, "xk": xk, "yz": yz, "mask": mask}
-        self._iter_cache = jax.jit(
-            lambda p: iter_posterior_cache(
-                self._spec, cfg, p, xc, xk, yz, mask=mask
-            )
-        )(params)
+        from ..utils.profiling import phase
+
+        with phase("iter_cache"):
+            self._iter_cache = jax.jit(
+                lambda p: iter_posterior_cache(
+                    self._spec, cfg, p, xc, xk, yz, mask=mask
+                )
+            )(params)
+            jax.block_until_ready(self._iter_cache)
         return self.MAP
 
     def _find_MAP_het(

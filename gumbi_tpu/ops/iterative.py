@@ -327,14 +327,103 @@ def lanczos(matvec, b, k):
     return Q, diag, off[: k - 1]
 
 
-def _love_factor(matvec, b, k):
+def _cholqr2(W, eps_scale):
+    """Orthonormalize the tall block W (n, b) by two rounds of
+    Cholesky-QR — all GEMM, no Householder (XLA's tall-skinny QR is a
+    serial panel recurrence on TPU; CholQR² reaches the same orthogonality
+    in f32 for the mildly-conditioned blocks full reorthogonalization
+    produces). A trace-scaled jitter keeps the Gram factorizable through a
+    rank-deficient block (breakdown: the Krylov space closed early) — the
+    affected directions carry ~zero weight after reorthogonalization.
+    """
+
+    def one_pass(V):
+        G = jnp.dot(V.T, V, precision=_HI)
+        jit_ = eps_scale * (jnp.trace(G) / G.shape[0] + 1e-30)
+        C = jnp.linalg.cholesky(G + jit_ * jnp.eye(G.shape[0], dtype=V.dtype))
+        return jax.scipy.linalg.solve_triangular(C, V.T, lower=True).T
+
+    return one_pass(one_pass(W))
+
+
+def block_lanczos_basis(matvec, B0, k, block):
+    """Orthonormal basis Q (n, k) of the block-Krylov space K(A, B0) and
+    the projection AQ, by ``k // block`` fused matvec sweeps.
+
+    The scalar Lanczos pays one full A·v sweep per COLUMN; on TPU the fused
+    Gram-matvec's sweep time is flat in the column count up to the 128-lane
+    MXU width (benchmarks/probe_fused_matvec.py), so building the same
+    rank-k space block-wise costs k/block sweeps — 64× fewer at the default
+    block. Full (two-pass) reorthogonalization against all previous columns
+    keeps Q orthonormal in f32; T is NOT assembled from the three-term
+    recurrence but computed directly as QᵀAQ by the caller, which is exact
+    for whatever basis the loop actually produced.
+    """
+    n = B0.shape[0]
+    dt = B0.dtype
+    nb = k // block
+    eps = 1e-6 if dt == jnp.float32 else 1e-12
+
+    Q = jnp.zeros((n, k), dt)
+    AQ = jnp.zeros((n, k), dt)
+    Q = jax.lax.dynamic_update_slice_in_dim(Q, _cholqr2(B0, eps), 0, axis=1)
+
+    def body(j, state):
+        Q, AQ = state
+        Qj = jax.lax.dynamic_slice_in_dim(Q, j * block, block, axis=1)
+        Wj = matvec(Qj)
+        AQ = jax.lax.dynamic_update_slice_in_dim(AQ, Wj, j * block, axis=1)
+        # two-pass full reorthogonalization (not-yet-written columns of Q
+        # are zero and inert)
+        W = Wj - Q @ jnp.dot(Q.T, Wj, precision=_HI)
+        W = W - Q @ jnp.dot(Q.T, W, precision=_HI)
+        Qn = _cholqr2(W, eps)
+        Q = jax.lax.cond(
+            j + 1 < nb,
+            lambda Q: jax.lax.dynamic_update_slice_in_dim(
+                Q, Qn, (j + 1) * block, axis=1
+            ),
+            lambda Q: Q,
+            Q,
+        )
+        return Q, AQ
+
+    Q, AQ = jax.lax.fori_loop(0, nb, body, (Q, AQ))
+    return Q, AQ
+
+
+def _love_factor(matvec, b, k, block=64):
     """W (n, k) with W Wᵀ = Q T⁻¹ Qᵀ ≈ A⁻¹ — the LOVE root decomposition.
 
     The projection bound vᵀQ(QᵀAQ)⁻¹Qᵀv ≤ vᵀA⁻¹v (Schur complement of the
     PSD block matrix [[A, v], [vᵀ, vᵀA⁻¹v]] projected onto range(Q)) holds
     for EVERY v, so variances computed from W are conservative: never
-    smaller than the exact posterior variance.
+    smaller than the exact posterior variance. The bound needs only an
+    orthonormal Q and T = QᵀAQ — any Krylov basis qualifies, which is what
+    lets the block path below swap in freely.
+
+    For k ≥ 2·block (the large-N regime) the basis is built block-wise:
+    K(A, [b | Ω]) with Ω standard-normal columns (fixed key — the cache is
+    deterministic), k/block fused sweeps instead of k. Small k keeps the
+    scalar Lanczos (its Krylov space of pure K(A, b) depth k is slightly
+    tighter per column when columns are the scarce resource).
     """
+    n = b.shape[0]
+    # Gate at 4 blocks: measured (CPU oracle, n=640) the block basis matches
+    # the scalar Krylov at k ≥ 256 (rel err 1.3e-6 vs 1.1e-6) but trails it
+    # at k = 128 (2.8e-2 vs 4.5e-5) — per COLUMN the pure K(A, b) space is
+    # tighter, and below ~4 blocks columns are the scarce resource.
+    if k >= 4 * block and k % block == 0 and n >= k:
+        om = jax.random.normal(jax.random.PRNGKey(7), (n, block - 1), b.dtype)
+        B0 = jnp.concatenate([b[:, None], om], axis=1)
+        Q, AQ = block_lanczos_basis(matvec, B0, k, block)
+        T = jnp.dot(Q.T, AQ, precision=_HI)
+        T = 0.5 * (T + T.T)
+        eps = 1e-6 if b.dtype == jnp.float32 else 1e-12
+        T = T + (eps * jnp.trace(T) / k) * jnp.eye(k, dtype=b.dtype)
+        C = jnp.linalg.cholesky(T)
+        Wt = jax.scipy.linalg.solve_triangular(C, Q.T, lower=True)
+        return Wt.T
     Q, diag, off = lanczos(matvec, b, k)
     T = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
     C = jnp.linalg.cholesky(T)
@@ -351,10 +440,14 @@ def _love_factor(matvec, b, k):
 def pcg(matvec, psolve, B, maxiter, tol, track=0):
     """Solve A X = B for SPD A, all RHS columns simultaneously.
 
-    Returns (X, alphas, betas, valid, iters): the CG step scalars α_j, β_j
-    and a validity mask for the first ``track`` iterations of each column
-    (the Lanczos tridiagonal of P⁻¹A in the P-inner product is recovered
-    from them; Saad, Iterative Methods, §6.7), plus the iteration count.
+    Returns (X, alphas, betas, valid, iters, rel_res): the CG step scalars
+    α_j, β_j and a validity mask for the first ``track`` iterations of each
+    column (the Lanczos tridiagonal of P⁻¹A in the P-inner product is
+    recovered from them; Saad, Iterative Methods, §6.7), the iteration
+    count, and the worst column's final relative residual ‖r‖/‖b‖ — the
+    caller's evidence of whether the solve actually converged (at
+    ``maxiter`` exit it may not have, and downstream quantities computed
+    from an unconverged solve can be arbitrarily wrong).
 
     Fixed-shape state in one `lax.while_loop`: converged columns freeze
     (their α is forced to 0 and excluded from `valid`), the loop exits when
@@ -407,7 +500,8 @@ def pcg(matvec, psolve, B, maxiter, tol, track=0):
 
     state = (0, X0, R0, P0, Z0, rz0, al0, be0, va0)
     i, X, R, P, Z, rz, al, be, va = jax.lax.while_loop(cond, body, state)
-    return X, al, be, va, i
+    rel_res = jnp.max(jnp.sqrt(jnp.sum(R * R, axis=0)) / jnp.maximum(bnorm, 1e-30))
+    return X, al, be, va, i, rel_res
 
 
 def _tridiag_from_cg(alphas, betas, valid):
@@ -482,7 +576,7 @@ def _iter_forward(spec, cfg, params, xc, xk, y, probe_n, probe_k, mask, noise_mu
 
     ym = y * mask if mask is not None else y
     B = jnp.concatenate([ym[:, None], Z], axis=1)
-    X, al, be, va, iters = pcg(
+    X, al, be, va, iters, rel_res = pcg(
         matvec, psolve, B, cfg.maxiter, cfg.tol, track=cfg.quad_steps
     )
     alpha, S = X[:, 0], X[:, 1:]
@@ -492,6 +586,14 @@ def _iter_forward(spec, cfg, params, xc, xk, y, probe_n, probe_k, mask, noise_mu
     logdet = logdet_p + _slq_logdet(al[:, 1:], be[:, 1:], va[:, 1:], znorm2)
     n_eff = jnp.sum(mask) if mask is not None else jnp.asarray(n, y.dtype)
     logp = -0.5 * (quad + logdet + n_eff * jnp.log(2.0 * jnp.pi))
+    # An unconverged solve (maxiter exit with residual above tolerance) makes
+    # quad/logdet ARBITRARILY wrong — at degenerate hyperparameters (ls→0,
+    # σ→0) the garbage value can be favorable by 1e8 nats and out-shout the
+    # prior, walking the optimizer into the singularity (observed). Distrust
+    # it outright: −inf here becomes +inf through the NaN→inf objective
+    # guard, so line searches reject the step and restarts lose the argmin.
+    # The 10× slack keeps borderline solves (SLQ tolerates them) alive.
+    logp = jnp.where(rel_res <= 10.0 * cfg.tol, logp, -jnp.inf)
     return logp, (alpha, S, W, iters)
 
 

@@ -181,12 +181,40 @@ def lbfgs_host_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16, max_bac
             o += sz
         return jax.tree_util.tree_unflatten(treedef, out)
 
+    import os
+    import sys
+    import time as _time
+
+    _log = os.environ.get("GUMBI_TPU_POLISH_LOG", "0") == "1"
+    _nvg = _nv = 0
+
     vg_dev = jax.jit(jax.value_and_grad(fun))
     v_dev = jax.jit(fun)
 
     def vg(vec):
+        nonlocal _nvg
+        t0 = _time.perf_counter()
         v, gtree = vg_dev(unpack(vec))
-        return float(v), pack(gtree)
+        out = float(v), pack(gtree)
+        _nvg += 1
+        if _log:
+            print(
+                f"[polish] vg#{_nvg} f={out[0]:.6g} {_time.perf_counter() - t0:.2f}s",
+                file=sys.stderr,
+            )
+        return out
+
+    def v_only(vec):
+        nonlocal _nv
+        t0 = _time.perf_counter()
+        out = float(v_dev(unpack(vec)))
+        _nv += 1
+        if _log:
+            print(
+                f"[polish] v#{_nv} f={out:.6g} {_time.perf_counter() - t0:.2f}s",
+                file=sys.stderr,
+            )
+        return out
 
     x = pack(x0)
     f, g = vg(x)
@@ -216,19 +244,31 @@ def lbfgs_host_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16, max_bac
         if not np.isfinite(gTp) or gTp >= 0:  # not a descent direction: restart
             p, gTp = -g, -(g @ g)
 
-        # Armijo backtracking (value-only trials, like the compiled variant)
-        step, f_new, x_new = 1.0, np.inf, x
-        for _bt in range(max_backtracking):
-            x_try = x + step * p
-            f_try = float(v_dev(unpack(x_try)))
-            if np.isfinite(f_try) and f_try <= f + 1e-4 * step * gTp:
-                f_new, x_new = f_try, x_try
-                break
-            step *= 0.5
+        # Line search. The full step is the common accept near convergence,
+        # so evaluate it with value+grad directly — when Armijo passes we
+        # already hold the new gradient and the iteration costs ONE solve
+        # instead of trial + re-evaluation. Only on rejection fall back to
+        # value-only backtracking trials (like the compiled variant), with
+        # one value+grad at the accepted point.
+        f_new, x_new, g_new = np.inf, x, g
+        x_try = x + p
+        f_try, g_try = vg(x_try)
+        if np.isfinite(f_try) and f_try <= f + 1e-4 * gTp:
+            f_new, x_new, g_new = f_try, x_try, g_try
+        else:
+            step = 0.5
+            for _bt in range(max_backtracking - 1):
+                x_try = x + step * p
+                f_try = v_only(x_try)
+                if np.isfinite(f_try) and f_try <= f + 1e-4 * step * gTp:
+                    f_new, x_new = f_try, x_try
+                    break
+                step *= 0.5
         n_iters += 1
         if not np.isfinite(f_new):  # line search failed everywhere
             break
-        _, g_new = vg(x_new)
+        if g_new is g:  # accepted a backtracked point: fetch its gradient
+            _, g_new = vg(x_new)
         s_vec, y_vec = x_new - x, g_new - g
         sy = s_vec @ y_vec
         if np.isfinite(sy) and sy > 1e-10:

@@ -171,7 +171,7 @@ def _dist_forward(mesh, spec, cfg, params, xc, xk, y, probe_n, probe_k, mask):
 
         ym = y * mask
         B = jnp.concatenate([ym[:, None], Z], axis=1)
-        X, al, be, va, iters = pcg(
+        X, al, be, va, iters, rel_res = pcg(
             matvec, psolve, B, cfg.maxiter, cfg.tol, track=cfg.quad_steps
         )
         alpha, S = X[:, 0], X[:, 1:]
@@ -181,6 +181,9 @@ def _dist_forward(mesh, spec, cfg, params, xc, xk, y, probe_n, probe_k, mask):
         logdet = logdet_p + _slq_logdet(al[:, 1:], be[:, 1:], va[:, 1:], znorm2)
         n_eff = jnp.sum(mask)
         logp = -0.5 * (quad + logdet + n_eff * jnp.log(2.0 * jnp.pi))
+        # distrust unconverged solves — same guard as the single-device
+        # engine (ops/iterative.py), keeping the two paths value-identical
+        logp = jnp.where(rel_res <= 10.0 * cfg.tol, logp, -jnp.inf)
         return logp, alpha, S, W, iters
 
     return body(params, xc, xk, y, probe_n, probe_k, mask)

@@ -69,10 +69,41 @@ def test_pcg_matches_direct_solve():
     spec, params, _, xc, xk, y = _problem(n=120)
     A = _dense_A(spec, params, xc, xk, jnp.float64)
     B = jnp.asarray(np.random.default_rng(1).standard_normal((120, 3)))
-    X, *_ , iters = pcg(lambda V: jnp.asarray(A) @ V, lambda V: V, B, 400, 1e-12)
+    X, *_, iters, rel = pcg(lambda V: jnp.asarray(A) @ V, lambda V: V, B, 400, 1e-12)
     ref = np.linalg.solve(A, np.asarray(B))
     assert np.allclose(np.asarray(X), ref, rtol=1e-7, atol=1e-9)
     assert int(iters) < 400  # converged, not capped
+    assert float(rel) <= 1e-12  # and the reported residual says so
+
+
+def test_unconverged_solve_distrusted():
+    """At degenerate hyperparameters (ls→0, σ→0) the rank-k preconditioner
+    goes near-singular, CG stalls at maxiter, and the SLQ value is garbage —
+    observed wrong by 1e8 nats and FAVORABLE, walking the optimizer into the
+    singularity. The engine must return −inf (→ +inf objective) for any
+    solve whose residual did not reach tolerance, so line searches reject
+    the step instead of trusting it."""
+    from gumbi_tpu.ops.iterative import _iter_forward, draw_probes
+
+    spec, params, _, xc, xk, y = _problem(n=150, seed=2)
+    # f32: the production dtype on TPU, and the precision where the stall
+    # manifests (the f64 preconditioner solve still limps to convergence)
+    f32 = jnp.float32
+    params = {k: jnp.asarray(v, f32) for k, v in params.items()}
+    xc, y = jnp.asarray(xc, f32), jnp.asarray(y, f32)
+    cfg = IterConfig(maxiter=60, tol=1e-6, n_probes=4, precond_rank=16,
+                     quad_steps=24, block=0, love_rank=0)
+    pn, pk = draw_probes(0, 150, cfg, dtype=f32)
+    # healthy point: finite
+    logp, (_, _, _, iters) = _iter_forward(spec, cfg, params, xc, xk, y, pn, pk, None, None)
+    assert np.isfinite(float(logp))
+    # degenerate point: stalled solve → distrusted
+    bad = dict(params)
+    bad["ls_total"] = jnp.full_like(params["ls_total"], 1e-6)
+    bad["σ"] = jnp.asarray(1e-8, f32)
+    logp_bad, (_, _, _, iters_bad) = _iter_forward(spec, cfg, bad, xc, xk, y, pn, pk, None, None)
+    assert int(iters_bad) == cfg.maxiter  # the solve really did stall
+    assert float(logp_bad) == -np.inf
 
 
 def test_pivoted_cholesky_full_rank_reconstructs():
@@ -226,6 +257,34 @@ def test_love_variance_conservative_and_converging():
         errs.append(float(np.max(np.abs(q_love - q_exact))))
     assert errs[2] < errs[0]  # monotone-ish convergence across the sweep
     assert errs[2] < 1e-5 * float(q_exact.max())  # near-exact at rank 96
+
+
+def test_love_block_path_matches_scalar():
+    """The block-Lanczos LOVE basis (k/block fused sweeps instead of k) must
+    keep the conservative bound and match the scalar path's accuracy at the
+    ranks where it activates (k >= 4 blocks)."""
+    n, m = 360, 37
+    spec, params, _, xc, xk, y = _problem(n=n, seed=11)
+    A = np.asarray(_dense_A(spec, params, xc, xk, jnp.float64))
+    rng = np.random.default_rng(5)
+    xs = jnp.asarray(rng.uniform(-2, 2, size=(m, 2)))
+    xks = jnp.zeros((m, 0), dtype=jnp.int32)
+    Ks = np.asarray(gram(spec, params, xs, xks, xc, xk))
+    q_exact = np.sum(Ks * np.linalg.solve(A, Ks.T).T, axis=1)
+
+    d = _noise_vec(spec, params, xk, DEFAULT_JITTER, None, None, jnp.float64)
+    matvec = _make_matvec(spec, IterConfig(block=0), params, xc, xk, d, None)
+
+    k = 256
+    W_blk = np.asarray(_love_factor(matvec, y, k, block=64))  # block path
+    W_sca = np.asarray(_love_factor(matvec, y, k, block=10**9))  # forced scalar
+    q_blk = np.sum((Ks @ W_blk) ** 2, axis=1)
+    q_sca = np.sum((Ks @ W_sca) ** 2, axis=1)
+    assert np.all(q_blk <= q_exact + 1e-8), "block path bound violated"
+    scale = float(q_exact.max())
+    err_blk = float(np.max(np.abs(q_blk - q_exact))) / scale
+    err_sca = float(np.max(np.abs(q_sca - q_exact))) / scale
+    assert err_blk < max(10.0 * err_sca, 1e-6), (err_blk, err_sca)
 
 
 def test_iter_predict_diag_love_matches_cholesky_posterior():
