@@ -1021,11 +1021,16 @@ class GP(Regressor):
             )
             return self.MAP
 
-        def objective(uparams):
-            return iter_map_neg_logp(
-                self._spec, uparams, xc, xk, yz, ls_alpha, ls_beta,
-                pn, pk, cfg, mask=mask,
-            )
+        def objective_for(cfg_):
+            def objective(uparams):
+                return iter_map_neg_logp(
+                    self._spec, uparams, xc, xk, yz, ls_alpha, ls_beta,
+                    pn, pk, cfg_, mask=mask,
+                )
+
+            return objective
+
+        objective = objective_for(cfg)
 
         staged = coarse_n is not None or n > 16384
         if staged:
@@ -1066,9 +1071,42 @@ class GP(Regressor):
             # crashes the remote TPU worker; single evaluations pass
             # (bisected — docs/perf.md decision 14).
             with phase("iter_polish"):
+                # The unconverged-solve guard (ops/iterative.py) returns +inf
+                # when CG exits at maxiter above tolerance — correct against
+                # garbage steps mid-search, but at the COARSE WINNER itself it
+                # would brick the polish (L-BFGS can't start from f=inf and
+                # the fit would silently return the subsample optimum).
+                # cfg.maxiter is an early-exit cap, so raising it costs
+                # nothing when solves converge: escalate ×4 until the start
+                # evaluates finite (each escalation recompiles once).
+                cfg_p = cfg
+                f0 = float(jax.jit(objective_for(cfg_p))(u_start))
+                while not np.isfinite(f0) and cfg_p.maxiter < 4096:
+                    cfg_p = dataclasses.replace(
+                        cfg_p, maxiter=min(cfg_p.maxiter * 4, 4096)
+                    )
+                    warnings.warn(
+                        "Iterative MLL did not converge at the coarse-stage "
+                        f"optimum within maxiter={cfg.maxiter} CG iterations; "
+                        f"escalating the cap to {cfg_p.maxiter} for the "
+                        "full-N polish."
+                    )
+                    f0 = float(jax.jit(objective_for(cfg_p))(u_start))
                 u_best, neg_logp, polish_iters = lbfgs_host_minimize(
-                    objective, u_start, maxiter=pm_iter, ftol=tol
+                    objective_for(cfg_p), u_start, maxiter=pm_iter, ftol=tol
                 )
+                if not np.isfinite(float(neg_logp)) or int(polish_iters) == 0:
+                    warnings.warn(
+                        "Full-N polish could not improve on the coarse-stage "
+                        "optimum (objective "
+                        + ("never evaluated finite" if not np.isfinite(float(neg_logp))
+                           else "converged immediately")
+                        + "); the fit keeps the "
+                        f"subsample ({int(idx.shape[0])}-point) MAP."
+                    )
+                if not np.isfinite(float(neg_logp)):
+                    u_best, neg_logp = u_start, aux_c["all_values"].min()
+                cfg = cfg_p
             aux = {
                 "all_values": aux_c["all_values"],
                 "iters": aux_c["iters"],
