@@ -12,6 +12,7 @@ on device (replacing pm.find_MAP's scipy loop).
 
 from __future__ import annotations
 
+import dataclasses
 import warnings
 
 import numpy as np
@@ -1079,22 +1080,31 @@ class GP(Regressor):
                 # cfg.maxiter is an early-exit cap, so raising it costs
                 # nothing when solves converge: escalate ×4 until the start
                 # evaluates finite (each escalation recompiles once).
+                # There is no separate convergence probe: the polish's own
+                # first value+grad IS the probe (a non-finite start makes
+                # lbfgs_host_minimize return (u_start, inf, 0) after exactly
+                # one dispatch), so the common converged path pays zero
+                # duplicate full-N evaluations (advisor r4), and no single
+                # device program is longer than the polish steps the remote
+                # TPU worker already tolerates (docs/perf.md decision 14 —
+                # a fused value+grad probe program was measured to crash it).
                 cfg_p = cfg
-                f0 = float(jax.jit(objective_for(cfg_p))(u_start))
-                while not np.isfinite(f0) and cfg_p.maxiter < 4096:
+                while True:
+                    u_best, neg_logp, polish_iters = lbfgs_host_minimize(
+                        objective_for(cfg_p), u_start, maxiter=pm_iter, ftol=tol
+                    )
+                    if np.isfinite(float(neg_logp)) or cfg_p.maxiter >= 4096:
+                        break
+                    prev_cap = cfg_p.maxiter
                     cfg_p = dataclasses.replace(
                         cfg_p, maxiter=min(cfg_p.maxiter * 4, 4096)
                     )
                     warnings.warn(
                         "Iterative MLL did not converge at the coarse-stage "
-                        f"optimum within maxiter={cfg.maxiter} CG iterations; "
+                        f"optimum within maxiter={prev_cap} CG iterations; "
                         f"escalating the cap to {cfg_p.maxiter} for the "
                         "full-N polish."
                     )
-                    f0 = float(jax.jit(objective_for(cfg_p))(u_start))
-                u_best, neg_logp, polish_iters = lbfgs_host_minimize(
-                    objective_for(cfg_p), u_start, maxiter=pm_iter, ftol=tol
-                )
                 if not np.isfinite(float(neg_logp)) or int(polish_iters) == 0:
                     warnings.warn(
                         "Full-N polish could not improve on the coarse-stage "
@@ -1104,7 +1114,11 @@ class GP(Regressor):
                         + "); the fit keeps the "
                         f"subsample ({int(idx.shape[0])}-point) MAP."
                     )
-                if not np.isfinite(float(neg_logp)):
+                polish_fallback = not np.isfinite(float(neg_logp))
+                if polish_fallback:
+                    # The stored value is the COARSE-SUBSAMPLE Cholesky
+                    # objective, not the full-N iterative one — flagged in
+                    # _fit_aux so it is never mistaken for a full-N number.
                     u_best, neg_logp = u_start, aux_c["all_values"].min()
                 cfg = cfg_p
             aux = {
@@ -1112,6 +1126,7 @@ class GP(Regressor):
                 "iters": aux_c["iters"],
                 "best_restart": aux_c["best_restart"],
                 "polish_iters": polish_iters,
+                "polish_fallback": np.asarray(polish_fallback),
             }
         else:
             u_best, neg_logp, aux = jax.jit(

@@ -144,7 +144,9 @@ def lbfgs_backtracking_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16,
     return best_x, best_f, it
 
 
-def lbfgs_host_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16, max_backtracking=20):
+def lbfgs_host_minimize(
+    fun, x0, maxiter=100, ftol=1e-6, memory_size=16, max_backtracking=20
+):
     """L-BFGS with the loop on the HOST: each device program is ONE evaluation.
 
     Same algorithm as :func:`lbfgs_backtracking_minimize` (two-loop-recursion
@@ -160,6 +162,11 @@ def lbfgs_host_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16, max_bac
     L-BFGS program crashes the worker; bisect in docs/perf.md decision 14).
     Per-dispatch overhead is milliseconds against multi-second evaluations,
     so steady cost matches the compiled loop. Must be called OUTSIDE jit.
+
+    A non-finite objective at ``x0`` returns ``(x0, inf, 0)`` after exactly
+    one dispatch — callers use this as the convergence probe for the
+    iterative engine's guarded objective (a separate probe evaluation would
+    duplicate the most expensive dispatch of the run).
 
     Returns ``(x_best, f_best, n_iters)`` exactly like the compiled variant.
     """

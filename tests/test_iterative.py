@@ -580,3 +580,67 @@ def test_gp_model_iterative_staged_fit():
     pred_f = gp_f.predict_grid()
     assert np.allclose(np.asarray(pred_s.μ, float), np.asarray(pred_f.μ, float),
                        rtol=0.05, atol=0.05 * np.abs(np.asarray(pred_f.μ, float)).max())
+
+
+def _staged_fit_dataset(n=240, seed=0):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(1, 4, n)
+    y = np.exp(0.3 * np.sin(2.0 * x) + 0.1 * rng.normal(size=n)) + 1.0
+    import gumbi_tpu as gmb
+
+    return gmb.DataSet(pd.DataFrame({"hp": x, "mpg": y}), outputs=["mpg"],
+                       log_vars=["mpg"])
+
+
+def test_staged_polish_escalates_unconverged_start():
+    """A CG cap of 1 leaves the coarse winner's full-N objective unconverged
+    (guarded to +inf); the polish must escalate the cap — exercising the
+    dataclasses.replace path (advisor r4 high finding) — and still land a
+    finite full-N fit, not the subsample fallback."""
+    import gumbi_tpu as gmb
+
+    ds = _staged_fit_dataset()
+    # rank-1 preconditioner: too weak for CG to reach tol in one iteration,
+    # so the coarse winner's full-N objective is guarded to +inf at maxiter=1
+    # (the posterior cache needs rank ≥ 1, so the preconditioner stays on)
+    cfg = IterConfig(block=0, maxiter=1, tol=1e-6, precond_rank=1,
+                     quad_steps=60, love_rank=40)
+    gp = gmb.GP(ds)
+    gp.specify_model(outputs=["mpg"], continuous_dims=["hp"])
+    gp.build_model()
+    with pytest.warns(UserWarning, match="escalating the cap"):
+        gp.find_MAP(engine="iterative", n_restarts=2, coarse_n=120,
+                    polish_maxiter=20, iter_config=cfg)
+    assert np.isfinite(gp._neg_logp)
+    assert not bool(gp._fit_aux["polish_fallback"])
+    # the escalation warning must name the cap that just FAILED (1), not a
+    # later one (advisor r4 low finding)
+    with pytest.warns(UserWarning, match=r"within maxiter=1 CG"):
+        gp2 = gmb.GP(ds)
+        gp2.specify_model(outputs=["mpg"], continuous_dims=["hp"])
+        gp2.build_model()
+        gp2.find_MAP(engine="iterative", n_restarts=2, coarse_n=120,
+                     polish_maxiter=20, iter_config=cfg)
+
+
+def test_staged_polish_fallback_flagged():
+    """A negative tol makes CG unconvergeable at any cap (residuals are
+    nonnegative; tol=0.0 IS reachable in f32 once the residual underflows to
+    exactly zero): the fit must keep the coarse-subsample MAP and FLAG the
+    provenance of the stored objective (advisor r4: the subsample value is
+    not comparable to full-N numbers)."""
+    import gumbi_tpu as gmb
+
+    ds = _staged_fit_dataset(n=120)
+    cfg = IterConfig(block=0, maxiter=1024, tol=-1.0, precond_rank=8,
+                     quad_steps=40, love_rank=20)
+    gp = gmb.GP(ds)
+    gp.specify_model(outputs=["mpg"], continuous_dims=["hp"])
+    gp.build_model()
+    with pytest.warns(UserWarning, match="subsample"):
+        gp.find_MAP(engine="iterative", n_restarts=2, coarse_n=60,
+                    polish_maxiter=10, iter_config=cfg)
+    assert bool(gp._fit_aux["polish_fallback"])
+    assert int(gp._fit_aux["polish_iters"]) == 0
