@@ -13,6 +13,7 @@ on device (replacing pm.find_MAP's scipy loop).
 from __future__ import annotations
 
 import dataclasses
+import os
 import warnings
 
 import numpy as np
@@ -1077,34 +1078,68 @@ class GP(Regressor):
                 # garbage steps mid-search, but at the COARSE WINNER itself it
                 # would brick the polish (L-BFGS can't start from f=inf and
                 # the fit would silently return the subsample optimum).
-                # cfg.maxiter is an early-exit cap, so raising it costs
-                # nothing when solves converge: escalate ×4 until the start
-                # evaluates finite (each escalation recompiles once).
-                # There is no separate convergence probe: the polish's own
-                # first value+grad IS the probe (a non-finite start makes
-                # lbfgs_host_minimize return (u_start, inf, 0) after exactly
+                # Recovery ladder, cheapest first:
+                #   1. the coarse winner at the configured CG cap;
+                #   2. up to two RUNNER-UP coarse candidates at the same cap
+                #      (a degenerate winner — e.g. collapsed noise on the
+                #      subsample — is usually specific to one basin; a
+                #      candidate a few nats behind is well-conditioned);
+                #   3. the winner at ×4-escalated caps, ceilinged at 2048
+                #      (env GUMBI_TPU_POLISH_CG_CAP): cfg.maxiter is an
+                #      early-exit cap so raising it costs nothing when solves
+                #      converge, but the ceiling is a SERVICE limit — a
+                #      4096-iteration CG value+grad at N=50k is a long enough
+                #      single program that the remote TPU worker kills it
+                #      (docs/perf.md decision 14; observed, r5).
+                # There is no separate convergence probe: each rung's first
+                # value+grad IS the probe (a non-finite start makes
+                # lbfgs_host_minimize return (start, inf, 0) after exactly
                 # one dispatch), so the common converged path pays zero
-                # duplicate full-N evaluations (advisor r4), and no single
-                # device program is longer than the polish steps the remote
-                # TPU worker already tolerates (docs/perf.md decision 14 —
-                # a fused value+grad probe program was measured to crash it).
+                # duplicate full-N evaluations (advisor r4).
+                cap_max = int(os.environ.get("GUMBI_TPU_POLISH_CG_CAP", 2048))
+                fs_c = np.asarray(aux_c["all_values"], dtype=np.float64)
+                order = np.argsort(np.where(np.isfinite(fs_c), fs_c, np.inf))
+
+                def cand(i):
+                    return jax.tree_util.tree_map(
+                        lambda a: a[int(i)], aux_c["all_xs"]
+                    )
+
+                ladder = [(int(order[k]), cfg)
+                          for k in range(min(3, order.size))]
+                c = cfg
+                while c.maxiter < cap_max:
+                    c = dataclasses.replace(
+                        c, maxiter=min(c.maxiter * 4, cap_max)
+                    )
+                    ladder.append((int(order[0]), c))
                 cfg_p = cfg
-                while True:
+                start_restart = int(order[0])
+                for rung, (ridx, cfg_try) in enumerate(ladder):
+                    u_try = cand(ridx)
                     u_best, neg_logp, polish_iters = lbfgs_host_minimize(
-                        objective_for(cfg_p), u_start, maxiter=pm_iter, ftol=tol
+                        objective_for(cfg_try), u_try, maxiter=pm_iter, ftol=tol
                     )
-                    if np.isfinite(float(neg_logp)) or cfg_p.maxiter >= 4096:
+                    if np.isfinite(float(neg_logp)):
+                        cfg_p, start_restart = cfg_try, ridx
                         break
-                    prev_cap = cfg_p.maxiter
-                    cfg_p = dataclasses.replace(
-                        cfg_p, maxiter=min(cfg_p.maxiter * 4, 4096)
-                    )
-                    warnings.warn(
-                        "Iterative MLL did not converge at the coarse-stage "
-                        f"optimum within maxiter={prev_cap} CG iterations; "
-                        f"escalating the cap to {cfg_p.maxiter} for the "
-                        "full-N polish."
-                    )
+                    nxt = ladder[rung + 1] if rung + 1 < len(ladder) else None
+                    if nxt is None:
+                        pass
+                    elif nxt[1].maxiter != cfg_try.maxiter:
+                        warnings.warn(
+                            "Iterative MLL did not converge at the coarse-stage "
+                            f"optimum within maxiter={cfg_try.maxiter} CG "
+                            f"iterations; escalating the cap to "
+                            f"{nxt[1].maxiter} for the full-N polish."
+                        )
+                    else:
+                        warnings.warn(
+                            "Iterative MLL did not converge at coarse candidate "
+                            f"{ridx} within maxiter={cfg_try.maxiter} CG "
+                            "iterations; trying the next coarse candidate."
+                        )
+                u_start = cand(start_restart)
                 if not np.isfinite(float(neg_logp)) or int(polish_iters) == 0:
                     warnings.warn(
                         "Full-N polish could not improve on the coarse-stage "
@@ -1127,6 +1162,7 @@ class GP(Regressor):
                 "best_restart": aux_c["best_restart"],
                 "polish_iters": polish_iters,
                 "polish_fallback": np.asarray(polish_fallback),
+                "polish_start_restart": np.asarray(start_restart),
             }
         else:
             u_best, neg_logp, aux = jax.jit(

@@ -36,6 +36,7 @@ form and log-determinant, so padding to a static shape is exact.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -177,11 +178,23 @@ def _make_matvec(spec, cfg, params, xc, xk, d, mask):
         if term is not None and xc.dtype == jnp.float32 and fused_matvec_active():
             # Gram tiles are built and consumed inside VMEM — K never touches
             # HBM (ops/pallas_kernels.py; 2.7× the XLA blocked path at 50k).
+            # The self-Gram is symmetric, so when the full-array VMEM
+            # accumulator fits, the symmetric variant builds each unordered
+            # tile once and consumes it twice — halving the VPU tile-build
+            # work that bounds the kernel at production probe widths.
+            from .pallas_kernels import _SYM_ACC_BYTES_MAX, fused_stationary_matvec_sym
+
             ls, eta2 = _fused_matvec_args(spec, params, term)
+            sym_on = os.environ.get("GUMBI_TPU_SYM_MATVEC", "1") != "0"
 
             def matvec(V):
                 Vm = V * mask[:, None] if mask is not None else V
-                out = eta2 * fused_stationary_matvec(xc, xc, Vm, ls, term.kernel)
+                n_pad = -(-max(int(xc.shape[0]), 8) // 1024) * 1024
+                r_pad = -(-max(int(V.shape[1]), 1) // 128) * 128
+                if sym_on and n_pad * r_pad * 4 <= _SYM_ACC_BYTES_MAX:
+                    out = eta2 * fused_stationary_matvec_sym(xc, Vm, ls, term.kernel)
+                else:
+                    out = eta2 * fused_stationary_matvec(xc, xc, Vm, ls, term.kernel)
                 if mask is not None:
                     out = out * mask[:, None]
                 return out + d[:, None] * V
@@ -226,16 +239,30 @@ def _make_matvec(spec, cfg, params, xc, xk, d, mask):
 # ------------------------------------------------------------------
 
 
-def pivoted_cholesky(row_fn, diag, rank):
+def pivoted_cholesky(row_fn, diag, rank, return_resid=False):
     """Rank-``rank`` pivoted (greedy) Cholesky of an SPD matrix.
 
     ``row_fn(i)`` returns row i of the matrix (matrix-free: one (1, N) Gram
     strip); ``diag`` is its exact diagonal. Returns L of shape (N, rank) with
-    L Lᵀ the best-pivot rank-k approximation. O(rank·N·d) work — negligible
-    against the CG loop it accelerates.
+    L Lᵀ the best-pivot rank-k approximation (and, with ``return_resid``,
+    the final residual diagonal — diag(A − L Lᵀ) up to clamping). O(rank·N·d)
+    work — negligible against the CG loop it accelerates.
+
+    Columns stop once the residual diagonal falls below 100·eps·max(diag) —
+    a RELATIVE working-precision floor. Below it the residual row
+    ``row − L L[i]ᵀ`` is pure cancellation noise, and dividing that noise by
+    a ~√eps pivot injects O(1) junk columns that make the preconditioner
+    WORSE than none (measured at N=50k f32, smooth kernel: the 1e-12
+    absolute guard admitted ~58 junk columns and PCG stalled at rel 4.1 vs
+    1.2 unpreconditioned; with the relative guard the factorization stops at
+    the f32 numerical rank and the exhausted case short-circuits to the
+    exact Woodbury path — see :func:`_iter_forward`).
     """
     n = diag.shape[0]
     L0 = jnp.zeros((n, rank), dtype=diag.dtype)
+    thresh = jnp.maximum(
+        100.0 * jnp.finfo(diag.dtype).eps * jnp.max(diag), 1e-30
+    )
 
     def body(k, state):
         dres, L = state
@@ -245,14 +272,14 @@ def pivoted_cholesky(row_fn, diag, rank):
         # subtract the already-factored part: (L @ L[i])
         li = (row - jnp.dot(L, L[i], precision=_HI)) / pii
         li = li.at[i].set(pii)
-        # zero the update once the residual diagonal is exhausted (rank >
-        # numerical rank): pii ~ 0 would inject noise
-        li = jnp.where(dres[i] > 1e-12, li, jnp.zeros_like(li))
-        dres = jnp.maximum(dres - li * li, 0.0).at[i].set(0.0)
+        li = jnp.where(dres[i] > thresh, li, jnp.zeros_like(li))
+        dres = jnp.maximum(dres - li * li, 0.0).at[i].set(
+            jnp.where(dres[i] > thresh, 0.0, dres[i])
+        )
         return dres, L.at[:, k].set(li)
 
-    _, L = jax.lax.fori_loop(0, rank, body, (diag, L0))
-    return L
+    dres, L = jax.lax.fori_loop(0, rank, body, (diag, L0))
+    return (L, dres) if return_resid else L
 
 
 def _make_precond(L, d):
@@ -437,7 +464,7 @@ def _love_factor(matvec, b, k, block=64):
 # ------------------------------------------------------------------
 
 
-def pcg(matvec, psolve, B, maxiter, tol, track=0):
+def pcg(matvec, psolve, B, maxiter, tol, track=0, skip=None):
     """Solve A X = B for SPD A, all RHS columns simultaneously.
 
     Returns (X, alphas, betas, valid, iters, rel_res): the CG step scalars
@@ -452,6 +479,11 @@ def pcg(matvec, psolve, B, maxiter, tol, track=0):
     Fixed-shape state in one `lax.while_loop`: converged columns freeze
     (their α is forced to 0 and excluded from `valid`), the loop exits when
     every column is converged or at ``maxiter``.
+
+    ``skip`` (optional traced bool) makes the loop exit before the first
+    iteration, returning X = 0 — callers use it when the answer comes from
+    an exact factorization instead (the exhausted-preconditioner regime)
+    and the O(maxiter · N²) Krylov work would be wasted.
     """
     r_cols = B.shape[1]
     track = int(track) if track else 0
@@ -470,7 +502,10 @@ def pcg(matvec, psolve, B, maxiter, tol, track=0):
     def cond(state):
         i, _, R, *_ = state
         rn = jnp.sqrt(jnp.sum(R * R, axis=0))
-        return jnp.logical_and(i < maxiter, jnp.any(rn > stop))
+        go = jnp.logical_and(i < maxiter, jnp.any(rn > stop))
+        if skip is not None:
+            go = jnp.logical_and(go, jnp.logical_not(skip))
+        return go
 
     def body(state):
         i, X, R, P, Z, rz, al, be, va = state
@@ -565,25 +600,50 @@ def _iter_forward(spec, cfg, params, xc, xk, y, probe_n, probe_k, mask, noise_mu
                 row = row * mask[i] * mask
             return row
 
-        L = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank)
+        L, dres = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank, return_resid=True)
         psolve, logdet_p = _make_precond(L, d)
         # probes z ~ N(0, P): z = L a + √d b
         Z = jnp.dot(L, probe_k, precision=_HI) + jnp.sqrt(d)[:, None] * probe_n
+        # EXHAUSTED-FACTORIZATION REGIME (smooth kernels): when the pivoted
+        # Cholesky hits the working-precision floor within its rank budget,
+        # K = L Lᵀ exactly to f32 and P = L Lᵀ + D IS A — Woodbury solves and
+        # log|P| are the exact answer, while CG is structurally UNABLE to
+        # certify convergence there: λ_max(K) ≈ N·⟨k⟩ is huge, so the f32
+        # matvec noise floor ε·λ_max/λ_min sits ABOVE the relative-residual
+        # tolerance and the solve "stalls" on noise (measured at the N=50k
+        # campaign's true MAP basin, ls≈1.4: rel plateaus at 0.1-4 at any
+        # iteration count or preconditioner truncation). Gate on BOTH the
+        # residual-diagonal floor and the residual trace being below a nat-
+        # scale bound (|Δ logp| ≤ tr(A−P)/2λ_min): a collapsed-noise basin
+        # (σ²→0) fails the trace test and stays distrusted as before.
+        d_real = d if mask is None else jnp.where(mask > 0, d, jnp.inf)
+        n_eff_f = jnp.sum(mask) if mask is not None else jnp.asarray(n, y.dtype)
+        eps = jnp.finfo(y.dtype).eps
+        exhausted = jnp.logical_and(
+            jnp.max(dres) <= 100.0 * eps * jnp.maximum(jnp.max(kdiag), 1e-30),
+            jnp.sum(dres) <= 2e-3 * n_eff_f * jnp.min(d_real),
+        )
     else:
         psolve = lambda V: V  # noqa: E731
         logdet_p = jnp.zeros((), y.dtype)
         Z = probe_n
+        exhausted = jnp.asarray(False)
 
     ym = y * mask if mask is not None else y
     B = jnp.concatenate([ym[:, None], Z], axis=1)
     X, al, be, va, iters, rel_res = pcg(
-        matvec, psolve, B, cfg.maxiter, cfg.tol, track=cfg.quad_steps
+        matvec, psolve, B, cfg.maxiter, cfg.tol, track=cfg.quad_steps,
+        skip=exhausted,
     )
+    X = jnp.where(exhausted, psolve(B), X)
     alpha, S = X[:, 0], X[:, 1:]
     quad = jnp.sum(ym * alpha)
     W = psolve(Z)
     znorm2 = jnp.sum(Z * W, axis=0)  # zᵀP⁻¹z per probe
-    logdet = logdet_p + _slq_logdet(al[:, 1:], be[:, 1:], va[:, 1:], znorm2)
+    # log|A| = log|P| exactly in the exhausted regime (the SLQ correction is
+    # identically zero there — and CG ran no iterations to estimate it from)
+    slq = _slq_logdet(al[:, 1:], be[:, 1:], va[:, 1:], znorm2)
+    logdet = logdet_p + jnp.where(exhausted, 0.0, slq)
     n_eff = jnp.sum(mask) if mask is not None else jnp.asarray(n, y.dtype)
     logp = -0.5 * (quad + logdet + n_eff * jnp.log(2.0 * jnp.pi))
     # An unconverged solve (maxiter exit with residual above tolerance) makes
@@ -592,8 +652,10 @@ def _iter_forward(spec, cfg, params, xc, xk, y, probe_n, probe_k, mask, noise_mu
     # prior, walking the optimizer into the singularity (observed). Distrust
     # it outright: −inf here becomes +inf through the NaN→inf objective
     # guard, so line searches reject the step and restarts lose the argmin.
-    # The 10× slack keeps borderline solves (SLQ tolerates them) alive.
-    logp = jnp.where(rel_res <= 10.0 * cfg.tol, logp, -jnp.inf)
+    # The 10× slack keeps borderline solves (SLQ tolerates them) alive; the
+    # exhausted regime bypasses the guard — its answer is exact, not Krylov.
+    trusted = jnp.logical_or(exhausted, rel_res <= 10.0 * cfg.tol)
+    logp = jnp.where(trusted, logp, -jnp.inf)
     return logp, (alpha, S, W, iters)
 
 
@@ -722,10 +784,20 @@ def iter_posterior_cache(spec, cfg, params, xc, xk, y, mask=None, noise_mult=Non
             row = row * mask[i] * mask
         return row
 
-    L = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank)
+    L, dres = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank, return_resid=True)
     psolve, _ = _make_precond(L, d)
     ym = y * mask if mask is not None else y
-    X, *_ = pcg(matvec, psolve, ym[:, None], cfg.maxiter, cfg.tol)
+    # exhausted factorization → exact Woodbury solve, CG skipped (the same
+    # two-regime rule as _iter_forward, where the criterion is derived)
+    d_real = d if mask is None else jnp.where(mask > 0, d, jnp.inf)
+    n_eff_f = jnp.sum(mask) if mask is not None else jnp.asarray(xc.shape[0], y.dtype)
+    eps = jnp.finfo(y.dtype).eps
+    exhausted = jnp.logical_and(
+        jnp.max(dres) <= 100.0 * eps * jnp.maximum(jnp.max(kdiag), 1e-30),
+        jnp.sum(dres) <= 2e-3 * n_eff_f * jnp.min(d_real),
+    )
+    X, *_ = pcg(matvec, psolve, ym[:, None], cfg.maxiter, cfg.tol, skip=exhausted)
+    X = jnp.where(exhausted, psolve(ym[:, None]), X)
     alpha = X[:, 0]
     if mask is not None:
         alpha = alpha * mask

@@ -435,7 +435,12 @@ def multi_restart_minimize_hostloop(fun, x0s, maxiter=250, tol=1e-6):
         x_best = jax.tree_util.tree_map(lambda leaf: leaf[best], xs)
         return x_best, fs_safe[best], {"all_values": fs, "iters": its, "best_restart": best}
 
-    return select(xs, fs, its)
+    x_best, f_best, aux = select(xs, fs, its)
+    # The stacked per-restart optima ride along (a handful of scalars per
+    # restart): staged large-N fits fall back to runner-up candidates when
+    # the winner's full-N objective is unconverged (models/gp.py).
+    aux["all_xs"] = xs
+    return x_best, f_best, aux
 
 
 @partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter", "tol"))

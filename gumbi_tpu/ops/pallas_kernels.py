@@ -41,6 +41,7 @@ __all__ = [
     "rbf_gram",
     "pallas_available",
     "fused_stationary_matvec",
+    "fused_stationary_matvec_sym",
     "fused_matvec_active",
     "FUSABLE_KERNELS",
 ]
@@ -331,4 +332,163 @@ def fused_stationary_matvec(
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(ap, bp, vp)
+    return out[:n, :r].astype(v.dtype)
+
+
+def _fused_matvec_sym_body(
+    a_ref, b_ref, vi_ref, vj_ref, out_ref, *, d, kernel, nb, bm
+):
+    """One staggered band step of the SYMMETRIC K @ V.
+
+    Grid is (n_bands, nb) with the band offset ``jj`` outer. Step (jj, i)
+    builds the single tile T = K[i·bm:(i+1)·bm, j·bm:(j+1)·bm] for
+    j = (i+jj) mod nb and accumulates BOTH of its contributions into the
+    full-array VMEM accumulator: out[i] += T @ V[j] and (off-diagonal only)
+    out[j] += Tᵀ @ V[i]. Each unordered tile pair is built exactly once —
+    the VPU tile-build work (distances + kernel + hi/lo splits), which is
+    ~half the kernel's wall-clock at production probe widths, is halved
+    versus the general kernel. The MXU product count is unchanged.
+    """
+    from jax.experimental import pallas as pl
+
+    from .kernels import _stationary
+
+    jj = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when((jj == 0) & (i == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # Wrap band for even nb double-covers its pairs; keep the first half.
+    active = (jj * 2 < nb) | (nb % 2 == 1) | (i * 2 < nb)
+
+    @pl.when(active)
+    def _():
+        a = a_ref[:]  # (bm, d_pad) rows i, pre-scaled by 1/ls
+        b = b_ref[:]  # (bm, d_pad) rows j
+        sq = jnp.zeros((a.shape[0], b.shape[0]), jnp.float32)
+        for k in range(d):
+            diff = a[:, k : k + 1] - b[:, k : k + 1].T
+            sq = sq + diff * diff
+        kt = _stationary(kernel, sq)
+        # shared hi/lo split: both products reuse it (see _fused_matvec_body
+        # for the precision pinning rationale)
+        mm = partial(
+            jax.lax.dot_general,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        nt = (((1,), (0,)), ((), ()))  # T @ v
+        tt = (((0,), (0,)), ((), ()))  # Tᵀ @ v (contract T's row axis)
+        k_hi = kt.astype(jnp.bfloat16).astype(jnp.float32)
+        k_lo = kt - k_hi
+
+        def prod(v, dims):
+            v_hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+            v_lo = v - v_hi
+            return (
+                mm(k_hi, v_hi, dims)
+                + mm(k_hi, v_lo, dims)
+                + mm(k_lo, v_hi, dims)
+            )
+
+        out_i = prod(vj_ref[:], nt)
+        sl_i = (pl.dslice(i * bm, bm), slice(None))
+        out_ref[sl_i] += out_i
+
+        @pl.when(jj > 0)
+        def _():
+            j = jax.lax.rem(i + jj, nb)
+            out_j = prod(vi_ref[:], tt)
+            sl_j = (pl.dslice(j * bm, bm), slice(None))
+            out_ref[sl_j] += out_j
+
+
+# The full-array VMEM accumulator must coexist with tile temporaries and
+# double-buffered operand blocks; cap its footprint so the kernel stays
+# inside the 128 MB physical VMEM of a v5e core with headroom.
+_SYM_ACC_BYTES_MAX = 32 * 1024 * 1024
+
+
+def fused_stationary_matvec_sym(
+    x, v, ls, kernel="ExpQuad", *, bm=1024, interpret=None
+):
+    """``K @ v`` for the SELF-Gram of a stationary kernel, exploiting symmetry.
+
+    Same contract and numerics class as :func:`fused_stationary_matvec` with
+    ``x1 = x2 = x`` — exact f32 elementwise distances, 3-pass hi/lo bf16 MXU
+    products — but each off-diagonal Gram tile is built once and consumed
+    twice (T @ V[j] into rows i, Tᵀ @ V[i] into rows j) via a staggered band
+    grid over unordered tile pairs, halving the VPU tile-build work that
+    bounds the general kernel at production probe widths. The output lives in
+    a single full-array VMEM accumulator (legal: the out block never changes,
+    so cross-step accumulation is the standard revisiting pattern), which
+    bounds applicability to n_pad·r_pad·4 ≤ 32 MB — callers fall back to the
+    general kernel beyond that.
+
+    Summation order differs from the general kernel (band order vs row-major
+    tiles), so results agree to f32 accumulation round-off, not bitwise.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n, d = x.shape
+    r = v.shape[1]
+    ls_b = jnp.broadcast_to(ls, (d,)).astype(jnp.float32)
+    a = x.astype(jnp.float32) / ls_b
+
+    bm = min(bm, _ceil_to(max(n, 8), 128))
+    n_pad = _ceil_to(max(n, 8), bm)
+    d_pad = _ceil_to(d, 128)
+    r_pad = _ceil_to(max(r, 1), 128)
+    if n_pad * r_pad * 4 > _SYM_ACC_BYTES_MAX:
+        raise ValueError(
+            f"fused_stationary_matvec_sym accumulator {n_pad}x{r_pad} exceeds "
+            f"{_SYM_ACC_BYTES_MAX} bytes; use fused_stationary_matvec"
+        )
+
+    ap = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(a)
+    vp = jnp.zeros((n_pad, r_pad), jnp.float32).at[:n, :r].set(v.astype(jnp.float32))
+
+    nb = n_pad // bm
+    n_bands = nb // 2 + 1
+    grid = (n_bands, nb)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            partial(_fused_matvec_sym_body, d=d, kernel=kernel, nb=nb, bm=bm),
+            out_shape=jax.ShapeDtypeStruct((n_pad, r_pad), jnp.float32),
+            grid_spec=pl.GridSpec(
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((bm, d_pad), lambda jj, i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (bm, d_pad), lambda jj, i: ((i + jj) % nb, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec((bm, r_pad), lambda jj, i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (bm, r_pad), lambda jj, i: ((i + jj) % nb, 0), memory_space=pltpu.VMEM
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (n_pad, r_pad), lambda jj, i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=n_pad * n_pad * (d + 3 * r_pad) + 2 * n_pad * n_pad * 3 * r_pad,
+                bytes_accessed=4
+                * (
+                    2 * (n_pad * d_pad + n_pad * r_pad) * n_bands
+                    + n_pad * r_pad
+                ),
+                transcendentals=n_pad * n_pad // 2,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(ap, ap, vp, vp)
     return out[:n, :r].astype(v.dtype)

@@ -140,9 +140,18 @@ def _replicated_precond(spec, cfg, params, xc, xk, d, mask, dtype):
         xki = jax.lax.dynamic_slice_in_dim(xk, i, 1)
         return gram(spec, params, xci, xki, xc, xk)[0] * mask[i] * mask
 
-    L = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank)
+    L, dres = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank, return_resid=True)
     psolve, logdet_p = _make_precond(L, d)
-    return L, psolve, logdet_p
+    # exhausted-factorization flag (ops/iterative.py two-regime rule) —
+    # replicated, so every device takes the same branch in lockstep
+    d_real = jnp.where(mask > 0, d, jnp.inf)
+    n_eff_f = jnp.sum(mask)
+    eps = jnp.finfo(dtype).eps
+    exhausted = jnp.logical_and(
+        jnp.max(dres) <= 100.0 * eps * jnp.maximum(jnp.max(kdiag), 1e-30),
+        jnp.sum(dres) <= 2e-3 * n_eff_f * jnp.min(d_real),
+    )
+    return L, psolve, logdet_p, exhausted
 
 
 def _dist_forward(mesh, spec, cfg, params, xc, xk, y, probe_n, probe_k, mask):
@@ -160,7 +169,7 @@ def _dist_forward(mesh, spec, cfg, params, xc, xk, y, probe_n, probe_k, mask):
         d = _noise_vec(spec, params, xk, cfg.jitter, mask, None, y.dtype)
         matvec = _dist_matvec(spec, cfg, params, xc, xk, d, mask, ndata)
         if cfg.precond_rank > 0:
-            L, psolve, logdet_p = _replicated_precond(
+            L, psolve, logdet_p, exhausted = _replicated_precond(
                 spec, cfg, params, xc, xk, d, mask, y.dtype
             )
             Z = jnp.dot(L, pk, precision=_HI) + jnp.sqrt(d)[:, None] * pn
@@ -168,22 +177,28 @@ def _dist_forward(mesh, spec, cfg, params, xc, xk, y, probe_n, probe_k, mask):
             psolve = lambda V: V  # noqa: E731
             logdet_p = jnp.zeros((), y.dtype)
             Z = pn
+            exhausted = jnp.asarray(False)
 
         ym = y * mask
         B = jnp.concatenate([ym[:, None], Z], axis=1)
         X, al, be, va, iters, rel_res = pcg(
-            matvec, psolve, B, cfg.maxiter, cfg.tol, track=cfg.quad_steps
+            matvec, psolve, B, cfg.maxiter, cfg.tol, track=cfg.quad_steps,
+            skip=exhausted,
         )
+        X = jnp.where(exhausted, psolve(B), X)
         alpha, S = X[:, 0], X[:, 1:]
         quad = jnp.sum(ym * alpha)
         W = psolve(Z)
         znorm2 = jnp.sum(Z * W, axis=0)
-        logdet = logdet_p + _slq_logdet(al[:, 1:], be[:, 1:], va[:, 1:], znorm2)
+        slq = _slq_logdet(al[:, 1:], be[:, 1:], va[:, 1:], znorm2)
+        logdet = logdet_p + jnp.where(exhausted, 0.0, slq)
         n_eff = jnp.sum(mask)
         logp = -0.5 * (quad + logdet + n_eff * jnp.log(2.0 * jnp.pi))
-        # distrust unconverged solves — same guard as the single-device
-        # engine (ops/iterative.py), keeping the two paths value-identical
-        logp = jnp.where(rel_res <= 10.0 * cfg.tol, logp, -jnp.inf)
+        # distrust unconverged solves — same two-regime guard as the
+        # single-device engine (ops/iterative.py), keeping the paths
+        # value-identical
+        trusted = jnp.logical_or(exhausted, rel_res <= 10.0 * cfg.tol)
+        logp = jnp.where(trusted, logp, -jnp.inf)
         return logp, alpha, S, W, iters
 
     return body(params, xc, xk, y, probe_n, probe_k, mask)
@@ -362,9 +377,12 @@ def dist_iter_posterior_cache(mesh, spec, cfg, params, xc, xk, y, mask):
     def body(params, xc, xk, y, mask):
         d = _noise_vec(spec, params, xk, cfg.jitter, mask, None, y.dtype)
         matvec = _dist_matvec(spec, cfg, params, xc, xk, d, mask, ndata)
-        L, psolve, _ = _replicated_precond(spec, cfg, params, xc, xk, d, mask, y.dtype)
+        L, psolve, _, exhausted = _replicated_precond(
+            spec, cfg, params, xc, xk, d, mask, y.dtype
+        )
         ym = y * mask
-        X, *_ = pcg(matvec, psolve, ym[:, None], cfg.maxiter, cfg.tol)
+        X, *_ = pcg(matvec, psolve, ym[:, None], cfg.maxiter, cfg.tol, skip=exhausted)
+        X = jnp.where(exhausted, psolve(ym[:, None]), X)
         alpha = X[:, 0] * mask
         if cfg.love_rank > 0:
             k = min(int(cfg.love_rank), int(xc.shape[0]))

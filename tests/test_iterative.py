@@ -644,3 +644,133 @@ def test_staged_polish_fallback_flagged():
                     polish_maxiter=10, iter_config=cfg)
     assert bool(gp._fit_aux["polish_fallback"])
     assert int(gp._fit_aux["polish_iters"]) == 0
+
+
+@pytest.mark.parametrize("n,d,kern", [(300, 2, "ExpQuad"), (2500, 3, "ExpQuad"),
+                                      (2048, 2, "Matern52"), (1024, 1, "Matern32")])
+def test_fused_sym_matvec_matches_general(n, d, kern):
+    """The symmetric staggered-band kernel (each unordered tile built once,
+    consumed twice) must match the general fused kernel to f32 accumulation
+    round-off — covering single-tile, odd-band (nb=3), and even-band (nb=2)
+    grids. Interpret mode on CPU; compiled on TPU."""
+    from gumbi_tpu.ops.pallas_kernels import (
+        fused_stationary_matvec,
+        fused_stationary_matvec_sym,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-2, 2, (n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n, 5)), jnp.float32)
+    ls = jnp.asarray(rng.uniform(0.5, 1.5, (d,)), jnp.float32)
+    g = np.asarray(fused_stationary_matvec(x, x, v, ls, kern))
+    s = np.asarray(fused_stationary_matvec_sym(x, v, ls, kern))
+    assert np.allclose(s, g, rtol=1e-5, atol=1e-5 * np.abs(g).max())
+
+
+def test_fused_sym_matvec_accumulator_guard():
+    """Requests whose VMEM accumulator would not fit must raise, not wedge."""
+    from gumbi_tpu.ops.pallas_kernels import fused_stationary_matvec_sym
+
+    x = jnp.zeros((70_000, 2), jnp.float32)
+    v = jnp.zeros((70_000, 129), jnp.float32)  # r_pad 256 → 71680*256*4 > 32MB
+    with pytest.raises(ValueError, match="accumulator"):
+        fused_stationary_matvec_sym(x, v, jnp.ones((2,), jnp.float32))
+
+
+def test_iterative_engine_sym_matvec_path(fused_on):
+    """With the fused matvec forced on (interpret off-TPU), the engine's
+    matvec closure routes the self-Gram through the symmetric kernel and the
+    masked objective stays exact (mask folded outside the kernel)."""
+    spec, params, uparams, xc, xk, y = _problem(n=200, d=2, seed=4, dtype=jnp.float32)
+    cfg = IterConfig(maxiter=220, tol=1e-6, n_probes=200, precond_rank=0,
+                     quad_steps=48, block=100, love_rank=0)
+    n = 200
+    pn = jnp.sqrt(jnp.asarray(float(n), jnp.float32)) * jnp.eye(n, dtype=jnp.float32)
+    pk = jnp.zeros((n, 0), jnp.int32)
+    logp_sym = float(iter_gaussian_logp(spec, cfg, params, xc, xk, y, pn, pk, None, None))
+
+    import os as _os
+    _os.environ["GUMBI_TPU_SYM_MATVEC"] = "0"
+    try:
+        logp_gen = float(iter_gaussian_logp(spec, cfg, params, xc, xk, y, pn, pk, None, None))
+    finally:
+        _os.environ.pop("GUMBI_TPU_SYM_MATVEC")
+    assert np.isfinite(logp_sym)
+    assert abs(logp_sym - logp_gen) < 1e-3 * max(1.0, abs(logp_gen))
+
+
+def test_exhausted_factorization_woodbury_exact():
+    """Smooth-kernel f32 regime: the pivoted factorization exhausts inside
+    its rank budget, and the engine must short-circuit to the exact Woodbury
+    value with ZERO CG iterations — CG structurally cannot certify
+    convergence there (the f32 matvec noise floor ε·λmax/λmin sits above the
+    residual tolerance; measured at the 50k campaign's true MAP basin).
+    The value and the custom-VJP gradient must match the f64 Cholesky MLL."""
+    from gumbi_tpu.ops.iterative import _iter_forward
+
+    n = 2000
+    rng = np.random.default_rng(3)
+    spec = GPSpec(terms=(GPTerm(suffix="total", kernel="ExpQuad"),), d_cont=2)
+    Xc = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    xk = jnp.zeros((n, 0), jnp.int32)
+    f = np.sin(1.3 * np.asarray(Xc[:, 0])) * np.cos(0.9 * np.asarray(Xc[:, 1]))
+    y = jnp.asarray(f + rng.normal(0, 0.1, n), jnp.float32)
+    params32 = {"ls_total": jnp.asarray([1.4, 2.1], jnp.float32),
+                "η_total": jnp.asarray(1.1, jnp.float32),
+                "σ": jnp.asarray(0.1, jnp.float32)}
+    cfg = IterConfig(maxiter=64, tol=1e-2, n_probes=16, precond_rank=256,
+                     quad_steps=32, block=500, love_rank=0)
+    pn, pk = draw_probes(0, n, cfg, dtype=jnp.float32)
+    logp, (_, _, _, iters) = _iter_forward(
+        spec, cfg, params32, Xc, xk, y, pn, pk, None, None
+    )
+    assert int(iters) == 0, "exhausted regime must skip CG"
+    params64 = {k: jnp.asarray(v, jnp.float64) for k, v in params32.items()}
+    ref = float(mll(spec, params64, jnp.asarray(Xc, jnp.float64), xk,
+                    jnp.asarray(y, jnp.float64)))
+    assert np.isfinite(float(logp))
+    assert abs(float(logp) - ref) < max(1.0, 2e-4 * abs(ref)), (float(logp), ref)
+
+    # Gradient contract: the Woodbury path must reproduce what CONVERGED CG
+    # produces with the SAME probes (the fixed-probe Hutchinson estimator is
+    # intrinsically noisy at smooth hyperparameters — measured: f64 CG with
+    # these 16 probes is ~2x off the analytic ls gradient — so the analytic
+    # gradient is the wrong oracle; the estimator itself is the contract).
+    la = jnp.asarray([2.0, 2.0], jnp.float32)
+    lb = jnp.asarray([1.0, 1.0], jnp.float32)
+    u32 = {k: jnp.log(v) for k, v in params32.items()}
+    g32 = jax.grad(lambda u: iter_map_neg_logp(
+        spec, u, Xc, xk, y, la, lb, pn, pk, cfg))(u32)
+    # same probes, f64, tight-tolerance CG (f64 thresholds keep the
+    # factorization un-exhausted there, so this runs the Krylov path)
+    cfg64 = IterConfig(maxiter=600, tol=1e-10, n_probes=16, precond_rank=256,
+                       quad_steps=32, block=500, love_rank=0)
+    u64 = {k: jnp.asarray(v, jnp.float64) for k, v in u32.items()}
+    g64 = jax.grad(lambda u: iter_map_neg_logp(
+        spec, u, jnp.asarray(Xc, jnp.float64), xk, jnp.asarray(y, jnp.float64),
+        jnp.asarray(la, jnp.float64), jnp.asarray(lb, jnp.float64),
+        jnp.asarray(pn, jnp.float64), jnp.asarray(pk, jnp.float64), cfg64))(u64)
+    for k in u32:
+        a, b = np.asarray(g32[k], float), np.asarray(g64[k], float)
+        assert np.allclose(a, b, rtol=0.05, atol=0.05 * np.abs(b).max() + 1e-3), (k, a, b)
+
+
+def test_degenerate_basin_still_distrusted():
+    """The exhausted-regime bypass must NOT resurrect the collapsed-noise
+    garbage values the distrust guard exists for: at σ→0 the residual-trace
+    bound fails (tr(A−P)/λmin is thousands of nats) and the value stays
+    −inf even if the factorization hits its floor."""
+    from gumbi_tpu.ops.iterative import _iter_forward
+
+    spec, params, _, xc, xk, y = _problem(n=150, seed=2)
+    f32 = jnp.float32
+    params = {k: jnp.asarray(v, f32) for k, v in params.items()}
+    xc, y = jnp.asarray(xc, f32), jnp.asarray(y, f32)
+    bad = dict(params)
+    bad["ls_total"] = jnp.full_like(params["ls_total"], 1e-6)
+    bad["σ"] = jnp.asarray(1e-8, f32)
+    cfg = IterConfig(maxiter=60, tol=1e-6, n_probes=4, precond_rank=16,
+                     quad_steps=24, block=0, love_rank=0)
+    pn, pk = draw_probes(0, 150, cfg, dtype=f32)
+    logp_bad, _ = _iter_forward(spec, cfg, bad, xc, xk, y, pn, pk, None, None)
+    assert float(logp_bad) == -np.inf
