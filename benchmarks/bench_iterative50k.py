@@ -209,9 +209,17 @@ def bench_chol_anchor(spec, X, y_np, la, lb, u, cfg_template):
     return chol_s, chol_extrap, rel_err, love_relerr, conservative_frac
 
 
-def bench_campaign(X, y_np):
+def bench_campaign(X, y_np, label="cold"):
     """End-to-end through the USER API: DataSet → GP.fit(engine='iterative',
-    32 restarts) → 100×100 predict_grid. One wall-clock number each."""
+    32 restarts) → 100×100 predict_grid. One wall-clock number each.
+
+    Run twice by the caller: the first (cold) pass is compile-dominated
+    (~110 s of one-time program builds in a fresh process — the coarse
+    restart program, the polish value/value+grad, the posterior cache; the
+    32 coarse restarts themselves execute in 2.7 s, measured), the second
+    (warm) pass is what a session that has already fitted once — a lab
+    loop, a cross-validation sweep — actually pays.
+    """
     import pandas as pd
 
     import gumbi_tpu as gmb
@@ -238,7 +246,7 @@ def bench_campaign(X, y_np):
     pred = gp.predict_grid(with_noise=False)
     _ = np.asarray(pred.μ)
     predict_s = time.time() - t0
-    print(f"[iter50k] campaign: setup {setup_s:.1f}s | fit {fit_s:.1f}s "
+    print(f"[iter50k] campaign ({label}): setup {setup_s:.1f}s | fit {fit_s:.1f}s "
           f"(coarse 32 restarts @2048 + polish @{N}) | predict {predict_s:.2f}s "
           f"(10k grid) | MAP ls={np.round(gp.MAP['ls_total'], 3)}",
           file=sys.stderr)
@@ -287,9 +295,10 @@ def main():
           f"median rel err {love_relerr:.3f} (rank {LOVE_RANK}, "
           f"{conservative*100:.0f}% conservative)", file=sys.stderr)
 
-    fit_s = predict_s = None
+    fit_s = predict_s = fit_warm_s = predict_warm_s = None
     if not SKIP_FIT:
-        fit_s, predict_s = bench_campaign(X, y_np)
+        fit_s, predict_s = bench_campaign(X, y_np, label="cold")
+        fit_warm_s, predict_warm_s = bench_campaign(X, y_np, label="warm")
 
     out = {
         "metric": f"EXACT dense {N}-pt GP MLL value+grad, iterative mBCG engine "
@@ -311,6 +320,8 @@ def main():
     if fit_s is not None:
         out["fit_s"] = round(fit_s, 1)
         out["predict_s"] = round(predict_s, 2)
+        out["fit_warm_s"] = round(fit_warm_s, 1)
+        out["predict_warm_s"] = round(predict_warm_s, 2)
     print(json.dumps(out))
 
 

@@ -960,10 +960,7 @@ class GP(Regressor):
         N > 16,384 or whenever ``coarse_n`` is given; ``polish_maxiter``
         bounds the full-N polish (default 100).
         """
-        from ..ops.iterative import (
-            IterConfig, draw_probes, iter_map_neg_logp, iter_posterior_cache,
-        )
-        from ..ops.optimize import multi_restart_minimize
+        from ..ops.iterative import IterConfig, draw_probes, iter_map_neg_logp
         from ..ops.priors import constrain
 
         n = int(self._xc.shape[0])
@@ -1032,12 +1029,11 @@ class GP(Regressor):
 
             return objective
 
-        objective = objective_for(cfg)
-
         staged = coarse_n is not None or n > 16384
         if staged:
-            from ..ops.mll import map_neg_logp
+            from ..ops.iterative import iter_map_value, iter_map_value_and_grad
             from ..ops.optimize import (
+                coarse_restart_map,
                 lbfgs_host_minimize,
                 multi_restart_minimize_hostloop,
             )
@@ -1051,20 +1047,26 @@ class GP(Regressor):
             idx = jnp.asarray(rng.choice(real, size=min(cn, real.size), replace=False))
             xc_c, xk_c, y_c = self._xc[idx], self._xk[idx], self._yz[idx]
 
-            def coarse_obj(u):
-                return map_neg_logp(self._spec, u, xc_c, xk_c, y_c, ls_alpha, ls_beta)
-
             # Host-loop restarts, NOT the vmapped program: on the remote TPU
             # service the batched L-BFGS-of-Cholesky program is re-processed
             # for minutes per fresh process (and has wedged the service
             # outright — bench.py COARSE_MODE, docs/perf.md §9); one
             # single-restart program + async dispatches is equivalent and
-            # loads in seconds.
+            # loads in seconds. The runner is the MODULE-LEVEL jit so repeat
+            # fits at the same shapes reuse its executable.
             from ..utils.profiling import phase
+
+            spec = self._spec
+
+            def coarse_runner(u0):
+                return coarse_restart_map(
+                    spec, xc_c, xk_c, y_c, ls_alpha, ls_beta, u0,
+                    maxiter=maxiter, tol=tol,
+                )
 
             with phase("iter_coarse"):
                 u_start, _, aux_c = multi_restart_minimize_hostloop(
-                    coarse_obj, u0s, maxiter=maxiter, tol=tol
+                    None, u0s, runner=coarse_runner
                 )
             pm_iter = int(polish_maxiter) if polish_maxiter else 100
             # Host-driven polish: one jitted value/value+grad per dispatch.
@@ -1115,10 +1117,26 @@ class GP(Regressor):
                     ladder.append((int(order[0]), c))
                 cfg_p = cfg
                 start_restart = int(order[0])
+
+                def evals_for(cfg_):
+                    # module-level jits (ops/iterative.py): executables are
+                    # reused across fits at the same shapes
+                    vg = lambda u: iter_map_value_and_grad(  # noqa: E731
+                        spec, cfg_, u, xc, xk, yz, ls_alpha, ls_beta, pn, pk,
+                        mask=mask,
+                    )
+                    v = lambda u: iter_map_value(  # noqa: E731
+                        spec, cfg_, u, xc, xk, yz, ls_alpha, ls_beta, pn, pk,
+                        mask=mask,
+                    )
+                    return vg, v
+
                 for rung, (ridx, cfg_try) in enumerate(ladder):
                     u_try = cand(ridx)
+                    vg_fun, v_fun = evals_for(cfg_try)
                     u_best, neg_logp, polish_iters = lbfgs_host_minimize(
-                        objective_for(cfg_try), u_try, maxiter=pm_iter, ftol=tol
+                        objective_for(cfg_try), u_try, maxiter=pm_iter, ftol=tol,
+                        vg_fun=vg_fun, v_fun=v_fun,
                     )
                     if np.isfinite(float(neg_logp)):
                         cfg_p, start_restart = cfg_try, ridx
@@ -1165,9 +1183,12 @@ class GP(Regressor):
                 "polish_start_restart": np.asarray(start_restart),
             }
         else:
-            u_best, neg_logp, aux = jax.jit(
-                lambda u0s: multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
-            )(u0s)
+            from ..ops.iterative import fit_iter_map
+
+            u_best, neg_logp, aux = fit_iter_map(
+                self._spec, cfg, xc, xk, yz, ls_alpha, ls_beta, pn, pk, u0s,
+                mask=mask, maxiter=maxiter, tol=tol,
+            )
         params = constrain(u_best)
         self._params = params
         self._neg_logp = float(neg_logp)
@@ -1175,14 +1196,13 @@ class GP(Regressor):
         self.MAP = {k: np.asarray(v) for k, v in params.items()}
         self._cache = None  # never build the (N, N) Cholesky state
         self._iter_state = {"cfg": cfg, "xc": xc, "xk": xk, "yz": yz, "mask": mask}
+        from ..ops.iterative import iter_cache_build
         from ..utils.profiling import phase
 
         with phase("iter_cache"):
-            self._iter_cache = jax.jit(
-                lambda p: iter_posterior_cache(
-                    self._spec, cfg, p, xc, xk, yz, mask=mask
-                )
-            )(params)
+            self._iter_cache = iter_cache_build(
+                self._spec, cfg, params, xc, xk, yz, mask=mask
+            )
             jax.block_until_ready(self._iter_cache)
         return self.MAP
 
@@ -1378,10 +1398,10 @@ class GP(Regressor):
             # variance via the rank-k LOVE factor — conservative, never
             # below the exact posterior variance; Nyström fallback when
             # love_rank=0).
-            from ..ops.iterative import iter_predict_diag
+            from ..ops.iterative import iter_predict_diag_jit
 
             st = self._iter_state
-            mean, var = iter_predict_diag(
+            mean, var = iter_predict_diag_jit(
                 self._spec, st["cfg"], self._params, self._iter_cache,
                 st["xc"], st["xk"], jnp.asarray(xc, st["xc"].dtype),
                 jnp.asarray(xk), with_noise=with_noise, mask=st["mask"],

@@ -758,6 +758,77 @@ def iter_map_neg_logp(
     return jnp.where(jnp.isfinite(total), -total, jnp.inf)
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def iter_map_value_and_grad(spec, cfg, uparams, xc, xk, y, ls_alpha, ls_beta,
+                            probe_n, probe_k, mask=None):
+    """Module-level jitted value+grad of :func:`iter_map_neg_logp`.
+
+    The staged polish dispatches through this (not a per-fit closure) so
+    repeated fits at the same shapes — lab loops, cross-validation — reuse
+    the traced executable (the `fit_kron_map` rationale; a fresh closure per
+    fit retraces and, on the remote TPU service, re-loads the program).
+    """
+
+    def f(u):
+        return iter_map_neg_logp(
+            spec, u, xc, xk, y, ls_alpha, ls_beta, probe_n, probe_k, cfg,
+            mask=mask,
+        )
+
+    return jax.value_and_grad(f)(uparams)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def iter_map_value(spec, cfg, uparams, xc, xk, y, ls_alpha, ls_beta,
+                   probe_n, probe_k, mask=None):
+    """Module-level jitted value of :func:`iter_map_neg_logp` (see
+    :func:`iter_map_value_and_grad`)."""
+    return iter_map_neg_logp(
+        spec, uparams, xc, xk, y, ls_alpha, ls_beta, probe_n, probe_k, cfg,
+        mask=mask,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def iter_cache_build(spec, cfg, params, xc, xk, y, mask=None):
+    """Module-level jitted :func:`iter_posterior_cache` (same reuse
+    rationale as :func:`iter_map_value_and_grad`)."""
+    return iter_posterior_cache(spec, cfg, params, xc, xk, y, mask=mask)
+
+
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("with_noise", "chunk"))
+def iter_predict_diag_jit(spec, cfg, params, cache, xc, xk, xc_star, xk_star,
+                          with_noise=True, mask=None, chunk=2048):
+    """Module-level jitted :func:`iter_predict_diag`.
+
+    The eager form re-builds the fused Pallas cross-Gram per call (a fresh
+    kernel callable defeats every cache level — measured: a repeat 10k-grid
+    predict at N=50k paid the full ~29 s again); under one traced program
+    the kernel is cached by shapes and repeat predictions are pure compute.
+    """
+    return iter_predict_diag(
+        spec, cfg, params, cache, xc, xk, xc_star, xk_star,
+        with_noise=with_noise, mask=mask, chunk=chunk,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("maxiter", "tol"))
+def fit_iter_map(spec, cfg, xc, xk, y, ls_alpha, ls_beta, probe_n, probe_k,
+                 u0s, mask=None, maxiter=250, tol=1e-6):
+    """Multi-restart MAP fit on the iterative objective, module-level jitted
+    (the non-staged small-N path; same reuse rationale as
+    :func:`iter_map_value_and_grad`)."""
+    from .optimize import multi_restart_minimize
+
+    def objective(u):
+        return iter_map_neg_logp(
+            spec, u, xc, xk, y, ls_alpha, ls_beta, probe_n, probe_k, cfg,
+            mask=mask,
+        )
+
+    return multi_restart_minimize(objective, u0s, maxiter=maxiter, tol=tol)
+
+
 def iter_posterior_cache(spec, cfg, params, xc, xk, y, mask=None, noise_mult=None):
     """Array-only posterior state for iterative prediction.
 

@@ -145,7 +145,8 @@ def lbfgs_backtracking_minimize(fun, x0, maxiter=100, ftol=1e-6, memory_size=16,
 
 
 def lbfgs_host_minimize(
-    fun, x0, maxiter=100, ftol=1e-6, memory_size=16, max_backtracking=20
+    fun, x0, maxiter=100, ftol=1e-6, memory_size=16, max_backtracking=20,
+    vg_fun=None, v_fun=None,
 ):
     """L-BFGS with the loop on the HOST: each device program is ONE evaluation.
 
@@ -167,6 +168,12 @@ def lbfgs_host_minimize(
     one dispatch — callers use this as the convergence probe for the
     iterative engine's guarded objective (a separate probe evaluation would
     duplicate the most expensive dispatch of the run).
+
+    ``vg_fun``/``v_fun``, if given, replace the internally-jitted
+    value+grad / value evaluators (pytree → (float-like, grad pytree) /
+    float-like). Pass module-level-jitted wrappers so repeated fits at the
+    same shapes reuse the traced executables instead of retracing a fresh
+    closure per fit (same rationale as :func:`fit_kron_map`).
 
     Returns ``(x_best, f_best, n_iters)`` exactly like the compiled variant.
     """
@@ -195,8 +202,8 @@ def lbfgs_host_minimize(
     _log = os.environ.get("GUMBI_TPU_POLISH_LOG", "0") == "1"
     _nvg = _nv = 0
 
-    vg_dev = jax.jit(jax.value_and_grad(fun))
-    v_dev = jax.jit(fun)
+    vg_dev = jax.jit(jax.value_and_grad(fun)) if vg_fun is None else vg_fun
+    v_dev = jax.jit(fun) if v_fun is None else v_fun
 
     def vg(vec):
         nonlocal _nvg
@@ -402,7 +409,7 @@ def multi_restart_minimize(fun, x0s, maxiter=250, tol=1e-6, chunk=None, mode=Non
     return x_best, fs_safe[best], {"all_values": fs, "iters": its, "best_restart": best}
 
 
-def multi_restart_minimize_hostloop(fun, x0s, maxiter=250, tol=1e-6):
+def multi_restart_minimize_hostloop(fun, x0s, maxiter=250, tol=1e-6, runner=None):
     """Multi-restart L-BFGS as R async dispatches of ONE single-restart program.
 
     Same optimizer, same restarts, same argmin semantics as
@@ -418,9 +425,13 @@ def multi_restart_minimize_hostloop(fun, x0s, maxiter=250, tol=1e-6):
     not for use inside compiled objectives.
     """
     R = jax.tree_util.tree_leaves(x0s)[0].shape[0]
-    runner = jax.jit(
-        lambda x0: lbfgs_backtracking_minimize(fun, x0, maxiter=maxiter, ftol=tol)
-    )
+    if runner is None:
+        # per-call closure: traces fresh every invocation. Callers that
+        # refit at fixed shapes pass a module-level-jitted ``runner``
+        # (e.g. :func:`coarse_restart_map`) so the executable is reused.
+        runner = jax.jit(
+            lambda x0: lbfgs_backtracking_minimize(fun, x0, maxiter=maxiter, ftol=tol)
+        )
     outs = [
         runner(jax.tree_util.tree_map(lambda leaf: leaf[i], x0s)) for i in range(R)
     ]
@@ -441,6 +452,24 @@ def multi_restart_minimize_hostloop(fun, x0s, maxiter=250, tol=1e-6):
     # the winner's full-N objective is unconverged (models/gp.py).
     aux["all_xs"] = xs
     return x_best, f_best, aux
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter", "tol"))
+def coarse_restart_map(spec: GPSpec, xc, xk, y, ls_alpha, ls_beta, u0, maxiter=40, tol=1e-5):
+    """ONE L-BFGS restart of the dense-Cholesky MAP objective.
+
+    The single-restart program behind the staged large-N coarse triage:
+    module-level jit (same rationale as :func:`fit_kron_map`) so repeated
+    fits at the same shapes — lab loops, cross-validation, a re-fit after
+    appending bucketed data — reuse the traced executable instead of
+    retracing a fresh closure per fit. Dispatched asynchronously per restart
+    by :func:`multi_restart_minimize_hostloop` via its ``runner=``.
+    """
+
+    def objective(u):
+        return map_neg_logp(spec, u, xc, xk, y, ls_alpha, ls_beta)
+
+    return lbfgs_backtracking_minimize(objective, u0, maxiter=maxiter, ftol=tol)
 
 
 @partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter", "tol"))

@@ -774,3 +774,42 @@ def test_degenerate_basin_still_distrusted():
     pn, pk = draw_probes(0, 150, cfg, dtype=f32)
     logp_bad, _ = _iter_forward(spec, cfg, bad, xc, xk, y, pn, pk, None, None)
     assert float(logp_bad) == -np.inf
+
+
+def test_staged_fit_reuses_compiled_programs():
+    """Repeat fits at the same shapes must NOT retrace the polish/coarse
+    programs: the staged path dispatches through module-level jits
+    (iter_map_value_and_grad / iter_map_value / coarse_restart_map /
+    iter_cache_build), so the second fit's jit cache size equals the
+    first's. A per-fit closure would retrace — and on the remote TPU
+    service, re-load the program for seconds-to-minutes per fit."""
+    import gumbi_tpu as gmb
+    from gumbi_tpu.ops import iterative as it_mod
+    from gumbi_tpu.ops import optimize as opt_mod
+
+    ds = _staged_fit_dataset(n=256)
+    cfg = IterConfig(block=0, maxiter=200, tol=1e-6, precond_rank=16,
+                     quad_steps=40, love_rank=20)
+
+    def fit_once():
+        gp = gmb.GP(ds)
+        gp.specify_model(outputs=["mpg"], continuous_dims=["hp"])
+        gp.build_model()
+        gp.find_MAP(engine="iterative", n_restarts=2, coarse_n=128,
+                    polish_maxiter=10, iter_config=cfg)
+        return gp._neg_logp
+
+    f1 = fit_once()
+    sizes1 = tuple(
+        f._cache_size()
+        for f in (it_mod.iter_map_value_and_grad, it_mod.iter_map_value,
+                  it_mod.iter_cache_build, opt_mod.coarse_restart_map)
+    )
+    f2 = fit_once()
+    sizes2 = tuple(
+        f._cache_size()
+        for f in (it_mod.iter_map_value_and_grad, it_mod.iter_map_value,
+                  it_mod.iter_cache_build, opt_mod.coarse_restart_map)
+    )
+    assert sizes2 == sizes1, (sizes1, sizes2)
+    assert np.isclose(f1, f2, rtol=1e-6)
