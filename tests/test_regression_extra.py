@@ -664,3 +664,33 @@ def test_sparse_bucket_padding_exact(cars_ds):
     y2 = gp2.predict_grid()
     assert np.allclose(y1.μ, y2.μ, rtol=1e-6)
     assert np.allclose(y1.σ2, y2.σ2, rtol=1e-6)
+
+
+def test_coercion_coords_drop_identity_maps():
+    """Continuous dims carry value→itself coordinate maps (one entry per
+    unique observation); _coercion_coords must drop them — feeding them to
+    DataFrame.replace is a no-op pandas executes one masked scan per entry
+    (measured 23 s at N=50k: it was the entire cost of prepare_grid at
+    scale). Categorical level→code maps must survive."""
+    import numpy as np
+    import pandas as pd
+
+    import gumbi_tpu as gmb
+
+    rng = np.random.default_rng(0)
+    n = 500
+    df = pd.DataFrame({
+        "x1": rng.uniform(-2, 2, n),
+        "cat": rng.choice(["a", "b", "c"], n),
+        "y": rng.normal(size=n),
+    })
+    ds = gmb.DataSet(df, outputs=["y"])
+    gp = gmb.GP(ds)
+    gp.specify_model(outputs=["y"], continuous_dims=["x1"],
+                     categorical_dims=["cat"])
+    cc = gp._coercion_coords()
+    assert "x1" not in cc, "identity map for a continuous dim must be dropped"
+    assert set(cc.get("cat", {}).keys()) == {"a", "b", "c"}
+    X, y = gp.get_structured_data()
+    codes = set(np.asarray(X["cat"].values()).ravel().tolist())
+    assert codes <= {0.0, 1.0, 2.0}
