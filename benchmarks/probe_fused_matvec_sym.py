@@ -42,7 +42,7 @@ ROOFLINE_GFLOPS = 61_500.0
 def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-2, 2, (N, D)), jnp.float32)
-    ls = jnp.asarray([0.3, 0.35][:D], jnp.float32)
+    ls = jnp.asarray(rng.uniform(0.3, 0.4, D), jnp.float32)
     print(f"[sym] N={N} D={D} device={jax.devices()[0]}", file=sys.stderr)
 
     for r in R_LIST:

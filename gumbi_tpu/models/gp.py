@@ -1111,9 +1111,12 @@ class GP(Regressor):
                           for k in range(min(3, order.size))]
                 c = cfg
                 while c.maxiter < cap_max:
-                    c = dataclasses.replace(
-                        c, maxiter=min(c.maxiter * 4, cap_max)
-                    )
+                    # max(·, 1): maxiter ≤ 0 would pin min(0·4, cap) at 0
+                    # and loop forever
+                    nxt = min(max(c.maxiter, 1) * 4, cap_max)
+                    if nxt <= c.maxiter:
+                        break
+                    c = dataclasses.replace(c, maxiter=nxt)
                     ladder.append((int(order[0]), c))
                 cfg_p = cfg
                 start_restart = int(order[0])
@@ -1142,19 +1145,23 @@ class GP(Regressor):
                         cfg_p, start_restart = cfg_try, ridx
                         break
                     nxt = ladder[rung + 1] if rung + 1 < len(ladder) else None
+                    which = (
+                        "the coarse-stage optimum" if ridx == int(order[0])
+                        else f"coarse candidate {ridx}"
+                    )
                     if nxt is None:
                         pass
                     elif nxt[1].maxiter != cfg_try.maxiter:
                         warnings.warn(
-                            "Iterative MLL did not converge at the coarse-stage "
-                            f"optimum within maxiter={cfg_try.maxiter} CG "
+                            f"Iterative MLL did not converge at {which} "
+                            f"within maxiter={cfg_try.maxiter} CG "
                             f"iterations; escalating the cap to "
                             f"{nxt[1].maxiter} for the full-N polish."
                         )
                     else:
                         warnings.warn(
-                            "Iterative MLL did not converge at coarse candidate "
-                            f"{ridx} within maxiter={cfg_try.maxiter} CG "
+                            f"Iterative MLL did not converge at {which} "
+                            f"within maxiter={cfg_try.maxiter} CG "
                             "iterations; trying the next coarse candidate."
                         )
                 u_start = cand(start_restart)

@@ -95,6 +95,12 @@ class IterConfig:
     quad_steps: int = 32
     jitter: float = DEFAULT_JITTER
     love_rank: int = 64
+    # Symmetric fused self-Gram matvec: None → follow GUMBI_TPU_SYM_MATVEC
+    # (read at TRACE time — the config field is part of every module-level
+    # jit's cache key, so setting it explicitly is the reliable way to
+    # toggle the kernel after programs have compiled; an env flip alone
+    # cannot invalidate cached executables).
+    sym_matvec: bool | None = None
 
 
 def draw_probes(seed: int, n: int, cfg: IterConfig, dtype=jnp.float32):
@@ -182,16 +188,17 @@ def _make_matvec(spec, cfg, params, xc, xk, d, mask):
             # accumulator fits, the symmetric variant builds each unordered
             # tile once and consumes it twice — halving the VPU tile-build
             # work that bounds the kernel at production probe widths.
-            from .pallas_kernels import _SYM_ACC_BYTES_MAX, fused_stationary_matvec_sym
+            from .pallas_kernels import fused_stationary_matvec_sym, sym_matvec_fits
 
             ls, eta2 = _fused_matvec_args(spec, params, term)
-            sym_on = os.environ.get("GUMBI_TPU_SYM_MATVEC", "1") != "0"
+            if cfg.sym_matvec is not None:
+                sym_on = bool(cfg.sym_matvec)
+            else:
+                sym_on = os.environ.get("GUMBI_TPU_SYM_MATVEC", "1") != "0"
 
             def matvec(V):
                 Vm = V * mask[:, None] if mask is not None else V
-                n_pad = -(-max(int(xc.shape[0]), 8) // 1024) * 1024
-                r_pad = -(-max(int(V.shape[1]), 1) // 128) * 128
-                if sym_on and n_pad * r_pad * 4 <= _SYM_ACC_BYTES_MAX:
+                if sym_on and sym_matvec_fits(xc.shape[0], V.shape[1]):
                     out = eta2 * fused_stationary_matvec_sym(xc, Vm, ls, term.kernel)
                 else:
                     out = eta2 * fused_stationary_matvec(xc, xc, Vm, ls, term.kernel)
@@ -280,6 +287,26 @@ def pivoted_cholesky(row_fn, diag, rank, return_resid=False):
 
     dres, L = jax.lax.fori_loop(0, rank, body, (diag, L0))
     return (L, dres) if return_resid else L
+
+
+def exhausted_factorization(dres, kdiag, d, mask, n_eff):
+    """The two-regime gate: is P = LLᵀ + D an (f32-)exact factorization of A?
+
+    True when the pivoted Cholesky hit the working-precision floor inside
+    its rank budget (max residual diagonal ≤ the same 100·eps·max(diag)
+    threshold the column guard uses) AND the residual trace bounds the
+    log-density error below nat scale (|Δ logp| ≤ tr(A−P)/2λ_min; the
+    second clause keeps collapsed-noise basins, where tr/λ_min is huge,
+    distrusted). ONE definition shared by the single-device forward, the
+    posterior caches, and the distributed engine — the paths must stay
+    value-identical (tests/test_parallel.py, the dryrun equality checks).
+    """
+    d_real = d if mask is None else jnp.where(mask > 0, d, jnp.inf)
+    eps = jnp.finfo(d.dtype).eps
+    return jnp.logical_and(
+        jnp.max(dres) <= 100.0 * eps * jnp.maximum(jnp.max(kdiag), 1e-30),
+        jnp.sum(dres) <= 2e-3 * n_eff * jnp.min(d_real),
+    )
 
 
 def _make_precond(L, d):
@@ -612,17 +639,9 @@ def _iter_forward(spec, cfg, params, xc, xk, y, probe_n, probe_k, mask, noise_mu
         # matvec noise floor ε·λ_max/λ_min sits ABOVE the relative-residual
         # tolerance and the solve "stalls" on noise (measured at the N=50k
         # campaign's true MAP basin, ls≈1.4: rel plateaus at 0.1-4 at any
-        # iteration count or preconditioner truncation). Gate on BOTH the
-        # residual-diagonal floor and the residual trace being below a nat-
-        # scale bound (|Δ logp| ≤ tr(A−P)/2λ_min): a collapsed-noise basin
-        # (σ²→0) fails the trace test and stays distrusted as before.
-        d_real = d if mask is None else jnp.where(mask > 0, d, jnp.inf)
+        # iteration count or preconditioner truncation).
         n_eff_f = jnp.sum(mask) if mask is not None else jnp.asarray(n, y.dtype)
-        eps = jnp.finfo(y.dtype).eps
-        exhausted = jnp.logical_and(
-            jnp.max(dres) <= 100.0 * eps * jnp.maximum(jnp.max(kdiag), 1e-30),
-            jnp.sum(dres) <= 2e-3 * n_eff_f * jnp.min(d_real),
-        )
+        exhausted = exhausted_factorization(dres, kdiag, d, mask, n_eff_f)
     else:
         psolve = lambda V: V  # noqa: E731
         logdet_p = jnp.zeros((), y.dtype)
@@ -859,14 +878,9 @@ def iter_posterior_cache(spec, cfg, params, xc, xk, y, mask=None, noise_mult=Non
     psolve, _ = _make_precond(L, d)
     ym = y * mask if mask is not None else y
     # exhausted factorization → exact Woodbury solve, CG skipped (the same
-    # two-regime rule as _iter_forward, where the criterion is derived)
-    d_real = d if mask is None else jnp.where(mask > 0, d, jnp.inf)
+    # two-regime rule as _iter_forward; one shared criterion)
     n_eff_f = jnp.sum(mask) if mask is not None else jnp.asarray(xc.shape[0], y.dtype)
-    eps = jnp.finfo(y.dtype).eps
-    exhausted = jnp.logical_and(
-        jnp.max(dres) <= 100.0 * eps * jnp.maximum(jnp.max(kdiag), 1e-30),
-        jnp.sum(dres) <= 2e-3 * n_eff_f * jnp.min(d_real),
-    )
+    exhausted = exhausted_factorization(dres, kdiag, d, mask, n_eff_f)
     X, *_ = pcg(matvec, psolve, ym[:, None], cfg.maxiter, cfg.tol, skip=exhausted)
     X = jnp.where(exhausted, psolve(ym[:, None]), X)
     alpha = X[:, 0]
@@ -997,12 +1011,18 @@ def iter_predict_mean(
                 row = row * mask[i] * mask
             return row
 
-        L = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank)
+        L, dres = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank, return_resid=True)
         psolve, _ = _make_precond(L, d)
+        n_eff_f = jnp.sum(mask) if mask is not None else jnp.asarray(xc.shape[0], y.dtype)
+        exhausted = exhausted_factorization(dres, kdiag, d, mask, n_eff_f)
     else:
         psolve = lambda V: V  # noqa: E731
+        exhausted = jnp.asarray(False)
     ym = y * mask if mask is not None else y
-    X, *_ = pcg(matvec, psolve, ym[:, None], cfg.maxiter, cfg.tol)
+    # same two-regime rule as _iter_forward: in the exhausted regime the
+    # Woodbury solve IS the answer and CG would stall on matvec noise
+    X, *_ = pcg(matvec, psolve, ym[:, None], cfg.maxiter, cfg.tol, skip=exhausted)
+    X = jnp.where(exhausted, psolve(ym[:, None]), X)
     alpha = X[:, 0]
     if mask is not None:
         alpha = alpha * mask

@@ -411,6 +411,16 @@ def _fused_matvec_sym_body(
 _SYM_ACC_BYTES_MAX = 32 * 1024 * 1024
 
 
+def sym_matvec_fits(n, r, bm=1024):
+    """Whether :func:`fused_stationary_matvec_sym`'s VMEM accumulator fits
+    for an (n, n) self-Gram against (n, r) columns — the single source of
+    the padding arithmetic, so callers never re-derive it."""
+    bm = min(bm, _ceil_to(max(int(n), 8), 128))
+    n_pad = _ceil_to(max(int(n), 8), bm)
+    r_pad = _ceil_to(max(int(r), 1), 128)
+    return n_pad * r_pad * 4 <= _SYM_ACC_BYTES_MAX
+
+
 def fused_stationary_matvec_sym(
     x, v, ls, kernel="ExpQuad", *, bm=1024, interpret=None
 ):

@@ -46,6 +46,7 @@ from ..ops.iterative import (
     _make_precond,
     _noise_vec,
     _slq_logdet,
+    exhausted_factorization,
     pcg,
     pivoted_cholesky,
 )
@@ -142,15 +143,9 @@ def _replicated_precond(spec, cfg, params, xc, xk, d, mask, dtype):
 
     L, dres = pivoted_cholesky(row_fn, kdiag, cfg.precond_rank, return_resid=True)
     psolve, logdet_p = _make_precond(L, d)
-    # exhausted-factorization flag (ops/iterative.py two-regime rule) —
+    # exhausted-factorization flag (the shared two-regime rule) —
     # replicated, so every device takes the same branch in lockstep
-    d_real = jnp.where(mask > 0, d, jnp.inf)
-    n_eff_f = jnp.sum(mask)
-    eps = jnp.finfo(dtype).eps
-    exhausted = jnp.logical_and(
-        jnp.max(dres) <= 100.0 * eps * jnp.maximum(jnp.max(kdiag), 1e-30),
-        jnp.sum(dres) <= 2e-3 * n_eff_f * jnp.min(d_real),
-    )
+    exhausted = exhausted_factorization(dres, kdiag, d, mask, jnp.sum(mask))
     return L, psolve, logdet_p, exhausted
 
 

@@ -681,20 +681,20 @@ def test_iterative_engine_sym_matvec_path(fused_on):
     """With the fused matvec forced on (interpret off-TPU), the engine's
     matvec closure routes the self-Gram through the symmetric kernel and the
     masked objective stays exact (mask folded outside the kernel)."""
+    import dataclasses as _dc
+
     spec, params, uparams, xc, xk, y = _problem(n=200, d=2, seed=4, dtype=jnp.float32)
     cfg = IterConfig(maxiter=220, tol=1e-6, n_probes=200, precond_rank=0,
-                     quad_steps=48, block=100, love_rank=0)
+                     quad_steps=48, block=100, love_rank=0, sym_matvec=True)
     n = 200
     pn = jnp.sqrt(jnp.asarray(float(n), jnp.float32)) * jnp.eye(n, dtype=jnp.float32)
     pk = jnp.zeros((n, 0), jnp.int32)
     logp_sym = float(iter_gaussian_logp(spec, cfg, params, xc, xk, y, pn, pk, None, None))
 
-    import os as _os
-    _os.environ["GUMBI_TPU_SYM_MATVEC"] = "0"
-    try:
-        logp_gen = float(iter_gaussian_logp(spec, cfg, params, xc, xk, y, pn, pk, None, None))
-    finally:
-        _os.environ.pop("GUMBI_TPU_SYM_MATVEC")
+    # the config field (not an env flip: it is part of the jit cache key,
+    # so it toggles reliably even after programs have compiled)
+    cfg_gen = _dc.replace(cfg, sym_matvec=False)
+    logp_gen = float(iter_gaussian_logp(spec, cfg_gen, params, xc, xk, y, pn, pk, None, None))
     assert np.isfinite(logp_sym)
     assert abs(logp_sym - logp_gen) < 1e-3 * max(1.0, abs(logp_gen))
 
@@ -813,3 +813,53 @@ def test_staged_fit_reuses_compiled_programs():
     )
     assert sizes2 == sizes1, (sizes1, sizes2)
     assert np.isclose(f1, f2, rtol=1e-6)
+
+
+def test_exhausted_predict_mean_matches_cholesky():
+    """iter_predict_mean must take the same exhausted-regime Woodbury path
+    as the forward: at the smooth f32 basin CG stalls on matvec noise, and
+    before r5's fix this function silently returned the stalled solve."""
+    n, m = 1500, 64
+    rng = np.random.default_rng(3)
+    spec = GPSpec(terms=(GPTerm(suffix="total", kernel="ExpQuad"),), d_cont=2)
+    Xc = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    xk = jnp.zeros((n, 0), jnp.int32)
+    f = np.sin(1.3 * np.asarray(Xc[:, 0])) * np.cos(0.9 * np.asarray(Xc[:, 1]))
+    y = jnp.asarray(f + rng.normal(0, 0.1, n), jnp.float32)
+    params = {"ls_total": jnp.asarray([1.4, 2.1], jnp.float32),
+              "η_total": jnp.asarray(1.1, jnp.float32),
+              "σ": jnp.asarray(0.1, jnp.float32)}
+    cfg = IterConfig(maxiter=64, tol=1e-2, n_probes=8, precond_rank=256,
+                     quad_steps=16, block=500, love_rank=0)
+    xs = jnp.asarray(rng.uniform(-2, 2, (m, 2)), jnp.float32)
+    xks = jnp.zeros((m, 0), jnp.int32)
+    mean = np.asarray(iter_predict_mean(spec, cfg, params, Xc, xk, y, xs, xks))
+
+    p64 = {k: jnp.asarray(v, jnp.float64) for k, v in params.items()}
+    X64, y64 = jnp.asarray(Xc, jnp.float64), jnp.asarray(y, jnp.float64)
+    K = gram(spec, p64, X64, xk, X64, xk)
+    dv = noise_diag(spec, p64, xk, dtype=jnp.float64) + DEFAULT_JITTER
+    alpha = jnp.linalg.solve(K + jnp.diag(dv), y64)
+    ref = np.asarray(gram(spec, p64, jnp.asarray(xs, jnp.float64), xks, X64, xk) @ alpha)
+    # 2e-2: f32 Woodbury at the rank-256 truncation floor vs f64 direct —
+    # a STALLED CG solve (the pre-fix behavior) errs by O(0.1-1) here
+    assert np.allclose(mean, ref, atol=2e-2 * max(1.0, np.abs(ref).max())), (
+        np.abs(mean - ref).max(), np.abs(ref).max())
+
+
+def test_staged_polish_ladder_survives_degenerate_maxiter():
+    """cfg.maxiter=0 must not hang the ladder builder (min(0*4, cap) == 0
+    pinned the escalation loop forever before the floor); the fit degrades
+    to the flagged subsample fallback instead."""
+    import gumbi_tpu as gmb
+
+    ds = _staged_fit_dataset(n=120)
+    cfg = IterConfig(block=0, maxiter=0, tol=1e-6, precond_rank=4,
+                     quad_steps=8, love_rank=8)
+    gp = gmb.GP(ds)
+    gp.specify_model(outputs=["mpg"], continuous_dims=["hp"])
+    gp.build_model()
+    with pytest.warns(UserWarning):
+        gp.find_MAP(engine="iterative", n_restarts=2, coarse_n=60,
+                    polish_maxiter=5, iter_config=cfg)
+    assert "polish_fallback" in gp._fit_aux
