@@ -73,6 +73,23 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
+    # Front-load the files whose programs are the largest XLA:CPU compiles
+    # (the vmapped / shard_map multi-restart fits). The sporadic host
+    # compiler crash (see the cache comment above) only ever strikes those
+    # programs DEEP into a long-running process — every fresh-process run
+    # compiles them fine — so building them first, while the process is
+    # young, keeps plain `pytest tests/` reliable. Tests are independent
+    # (fixed seeds everywhere), so order carries no semantics.
+    heavy = ("test_parity", "test_parallel", "test_extras", "test_regression_extra")
+
+    def rank(item):
+        for i, h in enumerate(heavy):
+            if f"/{h}.py::" in item.nodeid or item.nodeid.startswith(f"{h}.py::"):
+                return i
+        return len(heavy)
+
+    items.sort(key=rank)
+
     if config.getoption("--run-slow"):
         return
     skip_slow = pytest.mark.skip(reason="need --run-slow option to run")
